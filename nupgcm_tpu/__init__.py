@@ -1,0 +1,32 @@
+"""nupgcm_tpu: TPU-native planetary-geostrophic ocean model.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference nuPGCM (hgpeterson/nuPGCM): continuous-Galerkin P2-P1
+Taylor-Hood finite elements on unstructured tri/tet meshes solving the
+nondimensional PG equations -- a rotating-Stokes inversion (GMRES) and
+an implicit-diffusion / explicit-advection buoyancy evolution (CG) --
+with the entire timestep fused into jitted device code.
+"""
+
+from .models.config import (
+    ConvectionParameterization,
+    EddyParameterization,
+    Forcings,
+    Parameters,
+    SurfaceDirichletBC,
+    SurfaceFluxBC,
+)
+from .models.fedata import FEData, Spaces
+from .models.model import BlowUpError, PGModel, State
+from .models.timesteppers import BDF1, BDF2
+from .mesh.core import Mesh
+from .mesh.gmsh_reader import read_msh
+from .mesh import generators
+
+__version__ = "0.1.0"
+__all__ = [
+    "Parameters", "Forcings", "SurfaceDirichletBC", "SurfaceFluxBC",
+    "ConvectionParameterization", "EddyParameterization",
+    "Spaces", "FEData", "PGModel", "State", "BlowUpError",
+    "BDF1", "BDF2", "Mesh", "read_msh", "generators",
+]

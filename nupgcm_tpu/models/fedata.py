@@ -1,0 +1,151 @@
+"""Spaces + FEData: the static finite-element setup bundle.
+
+API parity with the reference's ``Spaces``/``FEData`` constructors
+(reference src/spaces.jl:31-72, src/dofs.jl:102-124): Taylor-Hood
+P2-P1 velocity/pressure plus P2 buoyancy with per-tag Dirichlet data,
+and RCM dof renumbering for device gather locality (the analog of the
+reference's CuthillMcKee permutations, src/dofs.jl:70-100).
+
+Everything here is host-side one-shot NumPy; the resulting tables and
+sparsity plans are the static constants the jitted kernels close over.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..fem.assembly import MatrixPlan, VectorPlan, build_matrix_plan, build_vector_plan
+from ..fem.geometry import CellGeometry, FacetGeometry, cell_geometry, facet_geometry, grad_embedding
+from ..fem.reference import element_tables, tabulate
+from ..fem.spaces import DirichletBC, ScalarSpace, scalar_dirichlet, velocity_dirichlet
+from ..mesh.core import Mesh
+
+
+class Spaces:
+    """Velocity (P2 vector), pressure (P1 zero-mean), buoyancy (P2)."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        u_diri_tags=(),
+        u_diri_vals=None,
+        u_diri_masks=None,
+        b_diri_tags=(),
+        b_diri_vals=None,
+        u_order: int = 2,
+        b_order: int = 2,
+        rcm: bool = True,
+    ):
+        self.mesh = mesh
+        self.u_order, self.b_order = u_order, b_order
+        self.u_space = ScalarSpace(mesh, u_order)
+        self.p_space = ScalarSpace(mesh, u_order - 1)
+        self.b_space = ScalarSpace(mesh, b_order)
+        if rcm:
+            for s in (self.u_space, self.p_space, self.b_space):
+                s.renumber(s.rcm_permutation())
+
+        if u_diri_vals is None:
+            u_diri_vals = [(0.0, 0.0, 0.0)] * len(u_diri_tags)
+        self.u_bc = velocity_dirichlet(self.u_space, u_diri_tags, u_diri_vals, u_diri_masks)
+        if b_diri_vals is None:
+            b_diri_vals = [0.0] * len(b_diri_tags)
+        self.b_bc = scalar_dirichlet(self.b_space, b_diri_tags, b_diri_vals)
+
+    @property
+    def n_u(self) -> int:
+        """Vector velocity dof count (3 components per node)."""
+        return 3 * self.u_space.ndof
+
+    @property
+    def n_p(self) -> int:
+        return self.p_space.ndof
+
+    @property
+    def n_b(self) -> int:
+        return self.b_space.ndof
+
+
+@dataclass
+class SurfaceGroup:
+    """Per-tag boundary facet data for dGamma integrals."""
+
+    facets: np.ndarray
+    geom: FacetGeometry
+    phi_u: np.ndarray  # facet-simplex basis values at facet quad pts
+    phi_b: np.ndarray
+    u_facet_dofs: np.ndarray  # (nf, 3*nl_uf) combined velocity dofs
+    b_facet_dofs: np.ndarray  # (nf, nl_bf)
+
+
+class FEData:
+    """Static FE tables + sparsity plans for the PG systems."""
+
+    def __init__(self, mesh: Mesh, spaces: Spaces, degree: int = 4,
+                 surface_tags=("surface",)):
+        self.mesh = mesh
+        self.spaces = spaces
+        self.degree = degree
+
+        # volume geometry + reference tables
+        self.geom: CellGeometry = cell_geometry(mesh, degree)
+        self.embed = grad_embedding(mesh.tdim)
+        self.tab_u = element_tables(mesh.tdim, spaces.u_order, degree)
+        self.tab_p = element_tables(mesh.tdim, spaces.u_order - 1, degree)
+        self.tab_b = element_tables(mesh.tdim, spaces.b_order, degree)
+        self.h_cells = mesh.h_cells()
+        self.h_median = mesh.median_edge_length()
+
+        us, ps, bs = spaces.u_space, spaces.p_space, spaces.b_space
+        nc = mesh.n_cells
+
+        # combined inversion dof layout: u dof (node n, comp a) = 3n + a,
+        # then pressure offset by 3*ndof_u
+        cd_u3 = (3 * us.cell_dofs[:, :, None] + np.arange(3)[None, None, :]).reshape(nc, -1)
+        cd_p = 3 * us.ndof + ps.cell_dofs
+        self.cell_dofs_inv = np.hstack([cd_u3, cd_p])
+        self.n_inv = 3 * us.ndof + ps.ndof
+
+        # sparsity plans
+        self.plan_inv = build_matrix_plan(
+            self.cell_dofs_inv, self.cell_dofs_inv, self.n_inv, self.n_inv
+        )
+        self.plan_B = build_matrix_plan(cd_u3, bs.cell_dofs, self.n_inv, bs.ndof)
+        self.plan_b = build_matrix_plan(bs.cell_dofs, bs.cell_dofs, bs.ndof, bs.ndof)
+        self.plan_visc = build_matrix_plan(cd_u3, cd_u3, 3 * us.ndof, 3 * us.ndof)
+        self.plan_Mp = build_matrix_plan(ps.cell_dofs, ps.cell_dofs, ps.ndof, ps.ndof)
+        self.vec_plan_b = build_vector_plan(bs.cell_dofs, bs.ndof)
+        self.vec_plan_p = build_vector_plan(ps.cell_dofs, ps.ndof)
+
+        # surface facet group (dGamma)
+        facets = mesh.tagged_facets(list(surface_tags))
+        fdim = mesh.tdim - 1
+        fg = facet_geometry(mesh, facets, degree)
+        phi_uf, _ = tabulate(fdim, spaces.u_order, _fq(fdim, degree))
+        phi_bf, _ = tabulate(fdim, spaces.b_order, _fq(fdim, degree))
+        u_fd = us.facet_dofs(facets)
+        u_fd3 = (3 * u_fd[:, :, None] + np.arange(3)[None, None, :]).reshape(len(facets), -1)
+        self.surface = SurfaceGroup(
+            facets=facets, geom=fg, phi_u=phi_uf, phi_b=phi_bf,
+            u_facet_dofs=u_fd3, b_facet_dofs=bs.facet_dofs(facets),
+        )
+        self.vec_plan_b_surf = build_vector_plan(self.surface.b_facet_dofs, bs.ndof)
+        self.vec_plan_u_surf = build_vector_plan(self.surface.u_facet_dofs, 3 * us.ndof)
+
+    def summary(self) -> str:
+        s = self.spaces
+        return (
+            f"FEData: n_u={s.n_u} n_p={s.n_p} n_b={s.n_b} "
+            f"(inversion N={self.n_inv}), nnz_inv={self.plan_inv.nnz}, "
+            f"nnz_b={self.plan_b.nnz}, cells={self.mesh.n_cells}"
+        )
+
+
+def _fq(fdim: int, degree: int) -> np.ndarray:
+    from ..fem.quadrature import simplex_rule
+
+    qp, _ = simplex_rule(fdim, degree)
+    return qp
