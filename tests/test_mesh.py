@@ -1,0 +1,140 @@
+"""Mesh generators + gmsh reader: conformity, volumes, tags."""
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from nupgcm_tpu.mesh.core import Mesh, unique_edges
+from nupgcm_tpu.mesh.generators import bowl2D, bowl3D, box_mesh, rect_mesh
+from nupgcm_tpu.mesh.gmsh_reader import read_msh
+
+
+def face_conformity(mesh: Mesh):
+    """Every interior facet shared by exactly 2 cells, boundary by 1."""
+    nvert = mesh.tdim + 1
+    faces = {}
+    for c in mesh.cells:
+        for f in combinations(sorted(c), nvert - 1):
+            faces[f] = faces.get(f, 0) + 1
+    counts = np.array(list(faces.values()))
+    assert counts.max() <= 2
+    return (counts == 1).sum()
+
+
+def total_volume(mesh: Mesh) -> float:
+    _, detJ = mesh.cell_jacobians()
+    assert detJ.min() > 0, "all cells positively oriented"
+    return detJ.sum() / math.factorial(mesh.tdim)
+
+
+def test_rect_mesh():
+    m = rect_mesh(5, 4)
+    assert abs(total_volume(m) - 1.0) < 1e-14
+    face_conformity(m)
+    sv, _ = m.tag_closure(["top"])
+    assert np.allclose(m.coords[sv, 2], 1.0)
+
+
+def test_box_mesh():
+    m = box_mesh(3, 3, 3)
+    assert abs(total_volume(m) - 1.0) < 1e-13
+    face_conformity(m)
+    sv, se = m.tag_closure(["boundary"])
+    # all 6 faces tagged: vertices on the boundary of the unit cube
+    x = m.coords[sv]
+    on_bnd = np.any((np.abs(x) < 1e-14) | (np.abs(x - 1) < 1e-14), axis=1)
+    assert on_bnd.all()
+
+
+def test_bowl2D():
+    alpha = 0.5
+    m = bowl2D(0.1, alpha)
+    # area = int alpha (1 - x^2) dx = 4 alpha / 3
+    assert abs(total_volume(m) - 4 * alpha / 3) < 0.02
+    face_conformity(m)
+    sv, _ = m.tag_closure(["surface"])
+    assert np.allclose(m.coords[sv, 2], 0.0)
+    cv, _ = m.tag_closure(["coastline"])
+    assert len(cv) == 2
+    assert np.allclose(np.abs(m.coords[cv, 0]), 1.0)
+
+
+def test_bowl3D():
+    alpha = 0.5
+    m = bowl3D(0.15, alpha)
+    # volume = alpha pi / 2
+    assert abs(total_volume(m) - alpha * np.pi / 2) < 0.03
+    face_conformity(m)
+    sv, _ = m.tag_closure(["surface"])
+    assert np.allclose(m.coords[sv, 2], 0.0)
+    cv, _ = m.tag_closure(["coastline"])
+    r = np.linalg.norm(m.coords[cv, :2], axis=1)
+    assert np.allclose(r, 1.0)
+    # coastline is closure of both surface and bottom boundaries
+    bv, _ = m.tag_closure(["bottom"])
+    assert set(cv) <= set(bv)
+
+
+def test_unique_edges_roundtrip():
+    m = box_mesh(2, 2, 2)
+    edges, cell_edges = unique_edges(m.cells)
+    # each cell's local edge k connects the LOCAL_EDGES vertex pair
+    from nupgcm_tpu.fem.reference import LOCAL_EDGES
+
+    led = np.array(LOCAL_EDGES[3])
+    for ci in range(min(10, m.n_cells)):
+        for k, (i, j) in enumerate(led):
+            pair = sorted((m.cells[ci, i], m.cells[ci, j]))
+            assert list(edges[cell_edges[ci, k]]) == pair
+
+
+GMSH_SAMPLE = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+1 1 "boundary"
+2 2 "interior"
+$EndPhysicalNames
+$Entities
+0 1 1 0
+1 0 0 0 1 1 0 1 1 1 0
+1 0 0 0 1 1 0 1 2 1 1
+$EndEntities
+$Nodes
+2 4 1 4
+1 1 0 2
+1
+2
+0 0 0
+1 0 0
+2 1 0 2
+3
+4
+1 1 0
+0 1 0
+$EndNodes
+$Elements
+2 4 1 4
+1 1 1 2
+1 1 2
+2 2 3
+2 1 2 2
+3 1 2 3
+4 1 3 4
+$EndElements
+"""
+
+
+def test_gmsh_reader(tmp_path):
+    p = tmp_path / "sample.msh"
+    p.write_text(GMSH_SAMPLE)
+    m = read_msh(str(p))
+    assert m.tdim == 2
+    assert m.n_vertices == 4
+    assert m.n_cells == 2
+    assert "boundary" in m.tagged and "interior" in m.tagged
+    v, e = m.tag_closure(["boundary"])
+    assert set(v) == {0, 1, 2}
