@@ -54,8 +54,13 @@ class MatrixPlan:
 
 
 def build_matrix_plan(row_dofs: np.ndarray, col_dofs: np.ndarray,
-                      n_rows: int, n_cols: int) -> MatrixPlan:
-    """row_dofs (nc, nl_r), col_dofs (nc, nl_c): one entry per (c,i,j)."""
+                      n_rows: int, n_cols: int, pad_nnz_to: int = 1) -> MatrixPlan:
+    """row_dofs (nc, nl_r), col_dofs (nc, nl_c): one entry per (c,i,j).
+
+    ``pad_nnz_to``: pad the nnz count to a multiple (dummy trailing
+    entries at (n_rows-1, n_cols-1) with permanently-zero values) so
+    the value vector can be sharded evenly across devices.
+    """
     nc, nlr = row_dofs.shape
     nlc = col_dofs.shape[1]
     r = np.repeat(row_dofs[:, :, None], nlc, axis=2).reshape(-1)
@@ -66,8 +71,12 @@ def build_matrix_plan(row_dofs: np.ndarray, col_dofs: np.ndarray,
     slot_sorted = inv[gather_perm].astype(np.int32)
     rows = (uniq // n_cols).astype(np.int32)
     cols = (uniq % n_cols).astype(np.int32)
+    pad = (-len(uniq)) % pad_nnz_to
+    if pad:
+        rows = np.concatenate([rows, np.full(pad, n_rows - 1, np.int32)])
+        cols = np.concatenate([cols, np.full(pad, n_cols - 1, np.int32)])
     return MatrixPlan(
-        n_rows=n_rows, n_cols=n_cols, nnz=len(uniq),
+        n_rows=n_rows, n_cols=n_cols, nnz=len(uniq) + pad,
         rows=rows, cols=cols, gather_perm=gather_perm, slot_sorted=slot_sorted,
     )
 

@@ -85,10 +85,15 @@ class FEData:
     """Static FE tables + sparsity plans for the PG systems."""
 
     def __init__(self, mesh: Mesh, spaces: Spaces, degree: int = 4,
-                 surface_tags=("surface",)):
+                 surface_tags=("surface",), pad_multiple: int = 8):
+        """``pad_multiple``: cell and nnz axes are padded to this
+        multiple so they can be sharded evenly across a device mesh
+        (pad cells have zero quadrature weight; pad nnz slots receive
+        no contributions -- both are exact no-ops)."""
         self.mesh = mesh
         self.spaces = spaces
         self.degree = degree
+        self.pad_multiple = pad_multiple
 
         # volume geometry + reference tables
         self.geom: CellGeometry = cell_geometry(mesh, degree)
@@ -101,24 +106,48 @@ class FEData:
 
         us, ps, bs = spaces.u_space, spaces.p_space, spaces.b_space
         nc = mesh.n_cells
+        npad = (-nc) % pad_multiple
+        self.n_cells_padded = nc + npad
+        if npad:
+            g = self.geom
+            eye = np.broadcast_to(np.eye(mesh.tdim), (npad, mesh.tdim, mesh.tdim))
+            self.geom = CellGeometry(
+                tdim=g.tdim,
+                invJT=np.concatenate([g.invJT, eye]),
+                wq=np.concatenate([g.wq, np.zeros((npad, g.wq.shape[1]))]),
+                xq=np.concatenate([g.xq, np.repeat(g.xq[:1], npad, axis=0)]),
+            )
+            # large pad h so padded cells never set the CFL minimum
+            self.h_cells = np.concatenate([self.h_cells, np.full(npad, 1e30)])
+
+        def _pad_cd(cd):
+            if not npad:
+                return cd
+            return np.concatenate([cd, np.zeros((npad, cd.shape[1]), cd.dtype)])
+
+        self.cd_u = _pad_cd(us.cell_dofs)
+        self.cd_p = _pad_cd(ps.cell_dofs)
+        self.cd_b = _pad_cd(bs.cell_dofs)
 
         # combined inversion dof layout: u dof (node n, comp a) = 3n + a,
         # then pressure offset by 3*ndof_u
-        cd_u3 = (3 * us.cell_dofs[:, :, None] + np.arange(3)[None, None, :]).reshape(nc, -1)
-        cd_p = 3 * us.ndof + ps.cell_dofs
+        ncp = self.n_cells_padded
+        cd_u3 = (3 * self.cd_u[:, :, None] + np.arange(3)[None, None, :]).reshape(ncp, -1)
+        cd_p = 3 * us.ndof + self.cd_p
         self.cell_dofs_inv = np.hstack([cd_u3, cd_p])
         self.n_inv = 3 * us.ndof + ps.ndof
 
-        # sparsity plans
-        self.plan_inv = build_matrix_plan(
-            self.cell_dofs_inv, self.cell_dofs_inv, self.n_inv, self.n_inv
-        )
-        self.plan_B = build_matrix_plan(cd_u3, bs.cell_dofs, self.n_inv, bs.ndof)
-        self.plan_b = build_matrix_plan(bs.cell_dofs, bs.cell_dofs, bs.ndof, bs.ndof)
-        self.plan_visc = build_matrix_plan(cd_u3, cd_u3, 3 * us.ndof, 3 * us.ndof)
-        self.plan_Mp = build_matrix_plan(ps.cell_dofs, ps.cell_dofs, ps.ndof, ps.ndof)
-        self.vec_plan_b = build_vector_plan(bs.cell_dofs, bs.ndof)
-        self.vec_plan_p = build_vector_plan(ps.cell_dofs, ps.ndof)
+        # vector scatter plans (the element-operator hot path)
+        self.cd_u3 = cd_u3
+        self.vec_plan_b = build_vector_plan(self.cd_b, bs.ndof)
+        self.vec_plan_p = build_vector_plan(self.cd_p, ps.ndof)
+        self.vec_plan_inv = build_vector_plan(self.cell_dofs_inv, self.n_inv)
+        self.vec_plan_u3 = build_vector_plan(cd_u3, 3 * us.ndof)
+        self.vec_plan_u3_inv = build_vector_plan(cd_u3, self.n_inv)
+
+        # assembled-sparsity plans (diagnostics / scipy export / tests);
+        # built lazily -- the solver hot path is element-local
+        self._plans = {}
 
         # surface facet group (dGamma)
         facets = mesh.tagged_facets(list(surface_tags))
@@ -135,12 +164,42 @@ class FEData:
         self.vec_plan_b_surf = build_vector_plan(self.surface.b_facet_dofs, bs.ndof)
         self.vec_plan_u_surf = build_vector_plan(self.surface.u_facet_dofs, 3 * us.ndof)
 
+    def _lazy_plan(self, name, rd, cd, nr, nc):
+        if name not in self._plans:
+            self._plans[name] = build_matrix_plan(rd, cd, nr, nc,
+                                                  pad_nnz_to=self.pad_multiple)
+        return self._plans[name]
+
+    @property
+    def plan_inv(self):
+        return self._lazy_plan("inv", self.cell_dofs_inv, self.cell_dofs_inv,
+                               self.n_inv, self.n_inv)
+
+    @property
+    def plan_B(self):
+        return self._lazy_plan("B", self.cd_u3, self.cd_b, self.n_inv,
+                               self.spaces.n_b)
+
+    @property
+    def plan_b(self):
+        return self._lazy_plan("b", self.cd_b, self.cd_b, self.spaces.n_b,
+                               self.spaces.n_b)
+
+    @property
+    def plan_visc(self):
+        return self._lazy_plan("visc", self.cd_u3, self.cd_u3,
+                               self.spaces.n_u, self.spaces.n_u)
+
+    @property
+    def plan_Mp(self):
+        return self._lazy_plan("Mp", self.cd_p, self.cd_p, self.spaces.n_p,
+                               self.spaces.n_p)
+
     def summary(self) -> str:
         s = self.spaces
         return (
             f"FEData: n_u={s.n_u} n_p={s.n_p} n_b={s.n_b} "
-            f"(inversion N={self.n_inv}), nnz_inv={self.plan_inv.nnz}, "
-            f"nnz_b={self.plan_b.nnz}, cells={self.mesh.n_cells}"
+            f"(inversion N={self.n_inv}), cells={self.mesh.n_cells}"
         )
 
 

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..fem import assembly as asm
 from ..fem.spaces import _eval_coeff
+from ..ops.element import ElementOperator
 from ..ops.sparse import COOMatrix, MaskedOperator, coo_from_plan
 from ..solvers.cg import cg
 from ..solvers.gmres import gmres
@@ -132,8 +133,8 @@ class PGModel:
         c["phi_p"] = jnp.asarray(fe.tab_p.phi, dt)
         c["phi_b"] = jnp.asarray(fe.tab_b.phi, dt)
         c["dphi_b"] = jnp.asarray(fe.tab_b.dphi, dt)
-        c["cd_u"] = jnp.asarray(sp.u_space.cell_dofs, jnp.int32)
-        c["cd_b"] = jnp.asarray(sp.b_space.cell_dofs, jnp.int32)
+        c["cd_u"] = jnp.asarray(fe.cd_u, jnp.int32)
+        c["cd_b"] = jnp.asarray(fe.cd_b, jnp.int32)
         c["h_cells"] = jnp.asarray(fe.h_cells, dt)
 
         # coefficients at volume quadrature points (host eval, static)
@@ -180,16 +181,18 @@ class PGModel:
         c = self.const
         return asm.physical_grads(c["invJT"], c["dphi_b"], c["embed"])
 
-    def _assemble_inversion_vals(self, nu_q):
+    def _assemble_inversion_elems(self, nu_q):
+        """Element tensors of the saddle operator -- kept element-local
+        (never scattered to a sparse matrix): the Krylov hot loop
+        applies them as batched dense matvecs (ops/element.py)."""
         c = self.const
         Gu3 = self._grads_u()
-        elem = asm.elem_inversion(
+        return asm.elem_inversion(
             c["wq"], nu_q, c["f_q"], c["phi_u"], Gu3, c["phi_p"],
             jnp.asarray(self.params.a2e2, self.dtype), self.variable_nu,
         )
-        return self.fe.plan_inv.assemble(elem)
 
-    def _assemble_visc_vals(self, nu_q):
+    def _assemble_visc_elems(self, nu_q):
         """Velocity-block preconditioner operator: viscous + |f| mass
         (SPD approximation of the u-block for inner CG)."""
         c = self.const
@@ -201,7 +204,7 @@ class PGModel:
         nlu = c["phi_u"].shape[1]
         nc = c["wq"].shape[0]
         elem = jnp.einsum("cji,ba->cjbia", a2e2 * lap + mf, eye3)
-        return self.fe.plan_visc.assemble(elem.reshape(nc, 3 * nlu, 3 * nlu))
+        return elem.reshape(nc, 3 * nlu, 3 * nlu)
 
     def _build_operators(self):
         fe, c, dt = self.fe, self.const, self.dtype
@@ -211,13 +214,10 @@ class PGModel:
         @jax.jit
         def setup():
             ops = {}
-            ops["A_inv"] = self._assemble_inversion_vals(c["nu_q"])
-            Gu3 = self._grads_u()
+            ops["A_inv_e"] = self._assemble_inversion_elems(c["nu_q"])
             Gb3 = self._grads_b()
-            ops["B"] = fe.plan_B.assemble(
-                asm.elem_buoyancy_to_velocity(
-                    c["wq"], c["phi_u"], c["phi_b"], jnp.asarray(1.0 / pr.alpha, dt)
-                )
+            ops["B_e"] = asm.elem_buoyancy_to_velocity(
+                c["wq"], c["phi_u"], c["phi_b"], jnp.asarray(1.0 / pr.alpha, dt)
             )
             # wind-stress rhs over combined (u, p) vector
             wind = asm.elem_wind_rhs(
@@ -227,23 +227,19 @@ class PGModel:
             s_u = fe.vec_plan_u_surf.assemble(wind)
             ops["s"] = jnp.concatenate([s_u, jnp.zeros(sp.n_p, dt)])
 
-            # evolution operators on the buoyancy space
-            ops["M"] = fe.plan_b.assemble(asm.elem_mass(c["wq"], c["phi_b"], c["phi_b"]))
-            ops["Kh"] = fe.plan_b.assemble(
-                asm.elem_stiffness(c["wq"], c["kh_q"], Gb3, (0, 1))
-            )
-            ops["Kv"] = fe.plan_b.assemble(
-                asm.elem_stiffness(c["wq"], c["kv_q"], Gb3, (2,))
-            )
+            # evolution operators on the buoyancy space (element-local)
+            ops["M_e"] = asm.elem_mass(c["wq"], c["phi_b"], c["phi_b"])
+            ops["Kh_e"] = asm.elem_stiffness(c["wq"], c["kh_q"], Gb3, (0, 1))
+            ops["Kv_e"] = asm.elem_stiffness(c["wq"], c["kv_q"], Gb3, (2,))
             ops["rhs_diff"] = fe.vec_plan_b.assemble(
                 asm.elem_rhs_diff(c["wq"], c["kv_q"], Gb3, jnp.asarray(pr.N2, dt))
             )
 
             # preconditioner blocks
-            ops["visc"] = self._assemble_visc_vals(c["nu_q"])
-            ops["Mp"] = fe.plan_Mp.assemble(
-                asm.elem_mass(c["wq"], c["phi_p"], c["phi_p"])
-            ) / jnp.asarray(pr.a2e2, dt)
+            ops["visc_e"] = self._assemble_visc_elems(c["nu_q"])
+            ops["Mp_e"] = asm.elem_mass(c["wq"], c["phi_p"], c["phi_p"]) / jnp.asarray(
+                pr.a2e2, dt
+            )
             # pressure volume weights for the zero-mean constraint
             ops["p_volw"] = fe.vec_plan_p.assemble(
                 jnp.einsum("cq,qk->ck", c["wq"], c["phi_p"])
@@ -267,17 +263,53 @@ class PGModel:
     # ------------------------------------------------------------------
     # pure step functions
     # ------------------------------------------------------------------
-    def _inv_matrix(self, ops) -> COOMatrix:
-        return coo_from_plan(self.fe.plan_inv, ops["A_inv"])
+    def _inv_matrix(self, ops) -> ElementOperator:
+        fe = self.fe
+        return ElementOperator(
+            Ae=ops["A_inv_e"],
+            cd_rows=jnp.asarray(fe.cell_dofs_inv, jnp.int32),
+            cd_cols=jnp.asarray(fe.cell_dofs_inv, jnp.int32),
+            row_plan=fe.vec_plan_inv,
+        )
+
+    def _b_matrix(self, ops) -> ElementOperator:
+        fe = self.fe
+        return ElementOperator(
+            Ae=ops["B_e"],
+            cd_rows=jnp.asarray(fe.cd_u3, jnp.int32),
+            cd_cols=self.const["cd_b"],
+            row_plan=fe.vec_plan_u3_inv,
+        )
+
+    def _evo_matrix(self, ops, theta, Kv_e=None) -> ElementOperator:
+        fe = self.fe
+        Kv_e = ops["Kv_e"] if Kv_e is None else Kv_e
+        return ElementOperator(
+            Ae=ops["M_e"] + theta * (ops["Kh_e"] + Kv_e),
+            cd_rows=self.const["cd_b"],
+            cd_cols=self.const["cd_b"],
+            row_plan=fe.vec_plan_b,
+        )
 
     def _make_inv_precond(self, ops):
         c = self.const
+        fe = self.fe
         if self.precond_kind == "diag":
             scale = 1.0 / self.fe.h_median ** self.fe.mesh.tdim
             return lambda r: r / jnp.asarray(scale, self.dtype), False
         # block Stokes preconditioner (flexible GMRES)
-        visc = coo_from_plan(self.fe.plan_visc, ops["visc"])
-        mp = coo_from_plan(self.fe.plan_Mp, ops["Mp"])
+        visc = ElementOperator(
+            Ae=ops["visc_e"],
+            cd_rows=jnp.asarray(fe.cd_u3, jnp.int32),
+            cd_cols=jnp.asarray(fe.cd_u3, jnp.int32),
+            row_plan=fe.vec_plan_u3,
+        )
+        mp = ElementOperator(
+            Ae=ops["Mp_e"],
+            cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
+            cd_cols=jnp.asarray(fe.cd_p, jnp.int32),
+            row_plan=fe.vec_plan_p,
+        )
         visc_op = MaskedOperator(visc, c["free_u"])
         iu, ip = self.inner_iters
         M = BlockStokesPrecond(
@@ -297,13 +329,13 @@ class PGModel:
         src/model.jl:302-317)."""
         c = self.const
         fe = self.fe
-        A = MaskedOperator(self._inv_matrix(ops), c["free_inv"])
-        Bmat = coo_from_plan(fe.plan_B, ops["B"])
-        y_full = Bmat.matvec(b_full) + ops["s"]
+        Amat = self._inv_matrix(ops)
+        A = MaskedOperator(Amat, c["free_inv"])
+        y_full = self._b_matrix(ops).matvec(b_full) + ops["s"]
         xd = c["xdiri_inv"] * (1.0 - c["free_inv"])
         y = jnp.where(
             c["free_inv"].astype(bool),
-            y_full - self._inv_matrix(ops).matvec(xd),
+            y_full - Amat.matvec(xd),
             c["xdiri_inv"],
         )
         M, flexible = self._make_inv_precond(ops)
@@ -332,12 +364,12 @@ class PGModel:
                 pr.N2 + jnp.einsum("cqi,ci->cq", Gb3[..., 2], state.b[c["cd_b"]])
             )
             kv_q = fr.conv_param.kappa_v(c["kv_q"], abz)
-            Kv = fe.plan_b.assemble(asm.elem_stiffness(c["wq"], kv_q, Gb3, (2,)))
+            Kv_e = asm.elem_stiffness(c["wq"], kv_q, Gb3, (2,))
             rhs_diff = fe.vec_plan_b.assemble(
                 asm.elem_rhs_diff(c["wq"], kv_q, Gb3, jnp.asarray(pr.N2, mt))
             )
         else:
-            Kv = ops["Kv"]
+            Kv_e = ops["Kv_e"]
             rhs_diff = ops["rhs_diff"]
 
         # BDF coefficients; BDF2 runs its first step as BDF1
@@ -349,8 +381,8 @@ class PGModel:
         c1 = jnp.where(use2, 1.0 / 3.0, 0.0).astype(mt)
         cdt = jnp.where(use2, 2.0 / 3.0 * dt_, dt_).astype(mt)
 
-        A_vals = ops["M"] + theta * (ops["Kh"] + Kv)
-        A = MaskedOperator(coo_from_plan(fe.plan_b, A_vals), c["free_b"])
+        Afull = self._evo_matrix(ops, theta, Kv_e)
+        A = MaskedOperator(Afull, c["free_b"])
 
         # advection rhs (per-step element assembly)
         u_e = state.u[c["cd_u"]]
@@ -372,7 +404,6 @@ class PGModel:
 
         y_full = rhs_adv + theta * rhs_diff + dt_ * ops["rhs_flux"]
         xd = c["bdiri"] * (1.0 - c["free_b"])
-        Afull = coo_from_plan(fe.plan_b, A_vals)
         y = jnp.where(c["free_b"].astype(bool), y_full - Afull.matvec(xd), c["bdiri"])
 
         diag_inv = 1.0 / A.diagonal()
@@ -402,7 +433,7 @@ class PGModel:
             pr.N2 + jnp.einsum("cqi,ci->cq", Gb3[..., 2], state.b[c["cd_b"]])
         )
         nu_q = fr.eddy_param.nu(c["f_eddy_q"], abz)
-        return dict(ops, A_inv=self._assemble_inversion_vals(nu_q))
+        return dict(ops, A_inv_e=self._assemble_inversion_elems(nu_q))
 
     # ------------------------------------------------------------------
     def _build_functions(self):
@@ -439,6 +470,7 @@ class PGModel:
 
         # note: no buffer donation -- state legitimately aliases (b is
         # also b_prev right after set_b) and donation would double-free
+        self.step_fn = step  # unjitted, for external jit/sharding wrappers
         self.step_jit = jax.jit(step)
 
         def invert_only(ops, state: State):

@@ -78,8 +78,8 @@ def test_advection_rhs_identity(fe):
     u = np.zeros((us.ndof, 3))
     u[:, 0] = 1.0
     b = bs.dof_coords[:, 0]
-    cd_u = jnp.asarray(us.cell_dofs)
-    cd_b = jnp.asarray(bs.cell_dofs)
+    cd_u = jnp.asarray(fe.cd_u)
+    cd_b = jnp.asarray(fe.cd_b)
     dt = 0.37
     elem = asm.elem_advection_bdf1(
         wq, phi_b, G3, phi_u, jnp.asarray(u)[cd_u], jnp.asarray(b)[cd_b], 0.0, dt
@@ -101,8 +101,8 @@ def test_bdf2_advection_reduces_to_bdf1(fe):
     rng = np.random.default_rng(0)
     u = rng.standard_normal((us.ndof, 3))
     b = rng.standard_normal(bs.ndof)
-    cd_u = jnp.asarray(us.cell_dofs)
-    cd_b = jnp.asarray(bs.cell_dofs)
+    cd_u = jnp.asarray(fe.cd_u)
+    cd_b = jnp.asarray(fe.cd_b)
     ue, be = jnp.asarray(u)[cd_u], jnp.asarray(b)[cd_b]
     dt = 0.1
     r1 = asm.elem_advection_bdf1(wq, phi_b, G3, phi_u, ue, be, 1.3, dt)

@@ -1,0 +1,127 @@
+"""Checkpoint round-trip, VTU writing, point evaluation, and
+streamfunction diagnostics."""
+
+import numpy as np
+import pytest
+
+import nupgcm_tpu as npg
+from nupgcm_tpu.io.checkpoint import load_state, save_state
+from nupgcm_tpu.io.vtk import save_vtk, write_vtu
+from nupgcm_tpu.postprocess import (
+    Grid3,
+    barotropic_streamfunction,
+    overturning_streamfunction,
+    sample_state,
+    stratification,
+)
+from nupgcm_tpu.utils.pointeval import FieldEvaluator
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    params = npg.Parameters(
+        eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+        f=lambda x: 1.0 + 0.5 * x[1],
+        H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2),
+    )
+    forc = npg.Forcings(nu=1.0, kappa_h=1e-2, kappa_v=1e-2, tau_x=0.0, tau_y=0.0,
+                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    mesh = npg.generators.bowl3D(0.35, alpha, nz=2)
+    spaces = npg.Spaces(
+        mesh,
+        u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True), (False, False, True)],
+        b_diri_tags=["surface"], b_diri_vals=[0.0],
+    )
+    fe = npg.FEData(mesh, spaces)
+    ts = npg.BDF2(t_start=0, t_stop=0.5, dt=0.1)
+    model = npg.PGModel(fe, params, forc, ts, inv_itmax=200)
+    st = model.set_b(model.rest_state(), lambda x: 0.05 * np.exp(2 * x[2]))
+    st = model.run(st, n_info=0, max_steps=3)
+    return model, st
+
+
+def test_point_eval_exactness(small_model):
+    """P2 point evaluation reproduces a quadratic exactly inside the
+    domain and returns NaN outside (reference nan_eval parity)."""
+    model, st = small_model
+    mesh = model.fe.mesh
+    bs = model.fe.spaces.b_space
+    x = bs.dof_coords
+    f = 1.0 + x[:, 0] + 2 * x[:, 2] + x[:, 0] * x[:, 2]
+    ev = FieldEvaluator(mesh)
+    pts = np.array([[0.0, 0.0, -0.2], [0.5, 0.1, -0.1], [2.0, 0.0, 0.0]])
+    vals = ev.eval(bs, f, pts)
+    exact = 1.0 + pts[:, 0] + 2 * pts[:, 2] + pts[:, 0] * pts[:, 2]
+    assert np.allclose(vals[:2], exact[:2], atol=1e-10)
+    assert np.isnan(vals[2])  # outside the unit-disk bowl
+
+
+def test_checkpoint_roundtrip(small_model, tmp_path):
+    model, st = small_model
+    p = str(tmp_path / "state.npz")
+    save_state(model, st, p)
+    st2 = load_state(model, p)
+    assert np.allclose(np.asarray(st.b), np.asarray(st2.b))
+    assert np.allclose(np.asarray(st.u), np.asarray(st2.u))
+    assert float(st2.t) == float(st.t)
+    assert int(st2.step) == int(st.step)
+    # resume: one more step from the restored state works
+    _, st3, aux = model.step_jit(model.ops, st2)
+    assert np.isfinite(float(aux["u_max"]))
+
+
+def test_checkpoint_mismatch_raises(small_model, tmp_path):
+    model, st = small_model
+    p = str(tmp_path / "state.npz")
+    save_state(model, st, p)
+    # build a different-size model
+    mesh = npg.generators.bowl3D(0.45, 0.5, nz=2)
+    spaces = npg.Spaces(mesh, b_diri_tags=[], b_diri_vals=[])
+    fe = npg.FEData(mesh, spaces)
+    m2 = npg.PGModel(fe, model.params, model.forcings, model.ts)
+    with pytest.raises(ValueError, match="does not match"):
+        load_state(m2, p)
+
+
+def test_vtu_writer(small_model, tmp_path):
+    model, st = small_model
+    p = str(tmp_path / "state.vtu")
+    save_vtk(model, st, p)
+    txt = open(p).read()
+    assert "QUADRATIC" not in txt  # types are numeric
+    assert 'Name="u"' in txt and 'Name="b"' in txt and 'Name="kappa_v"' in txt
+    # parseable XML with consistent sizes
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(p).getroot()
+    piece = root.find(".//Piece")
+    n_pts = int(piece.get("NumberOfPoints"))
+    mesh = model.fe.mesh
+    assert n_pts == mesh.n_vertices + mesh.n_edges
+    types = piece.find(".//DataArray[@Name='types']").text.split()
+    assert set(types) == {"24"}  # quadratic tets
+
+
+def test_streamfunctions(small_model):
+    model, st = small_model
+    grid = Grid3.from_mesh(model.fe.mesh, nx=24, ny=24, nz=12)
+    Psi, U, _ = barotropic_streamfunction(model, st, grid)
+    psi, v_int, b_bar, _ = overturning_streamfunction(model, st, grid)
+    # masks: NaN outside the bowl footprint, finite inside
+    assert np.isnan(Psi[0, 0])  # corner outside unit disk
+    assert np.isfinite(Psi[12, 12])
+    assert np.isfinite(psi).any()
+    prof, z = stratification(model, st, grid)
+    assert np.isfinite(prof[2:-2]).all()
+
+
+def test_sample_state_background(small_model):
+    """Full buoyancy includes the N^2 z background."""
+    model, st = small_model
+    grid = Grid3.from_mesh(model.fe.mesh, nx=8, ny=8, nz=8)
+    s = sample_state(model, st, grid)
+    inside = s["mask"] > 0
+    assert (s["b"][inside] != s["b_pert"][inside]).any()

@@ -11,7 +11,11 @@ import nupgcm_tpu as npg
 
 def integral_l2(fe, field_vals, cell_dofs, phi):
     """FE-integral L2 norm^2: sum_c int f_h^2 (the layout-invariant
-    norm the reference tests use, test/bowl_mixing_tests.jl:101-103)."""
+    norm the reference tests use, test/bowl_mixing_tests.jl:101-103).
+
+    ``cell_dofs`` must be the padded FEData tables (fe.cd_b / fe.cd_u)
+    to match the padded quadrature weights.
+    """
     wq = jnp.asarray(fe.geom.wq)
     fe_vals = jnp.asarray(field_vals)[jnp.asarray(cell_dofs)]
     fq = jnp.einsum("qi,ci->cq", jnp.asarray(phi), fe_vals)
@@ -149,14 +153,14 @@ def test_bowl_mixing_regression(bowl_model):
         pytest.skip("golden data generated; rerun to compare")
     ref = np.load(datafile)
     bs = fe.spaces.b_space
-    num = integral_l2(fe, b - ref["b"], bs.cell_dofs, fe.tab_b.phi)
-    den = integral_l2(fe, ref["b"], bs.cell_dofs, fe.tab_b.phi)
+    num = integral_l2(fe, b - ref["b"], fe.cd_b, fe.tab_b.phi)
+    den = integral_l2(fe, ref["b"], fe.cd_b, fe.tab_b.phi)
     assert num / den < 1e-6
     us = fe.spaces.u_space
     du = (u - ref["u"]).reshape(-1, 3)
     uref = ref["u"].reshape(-1, 3)
-    num = sum(integral_l2(fe, du[:, c], us.cell_dofs, fe.tab_u.phi) for c in range(3))
-    den = sum(integral_l2(fe, uref[:, c], us.cell_dofs, fe.tab_u.phi) for c in range(3))
+    num = sum(integral_l2(fe, du[:, c], fe.cd_u, fe.tab_u.phi) for c in range(3))
+    den = sum(integral_l2(fe, uref[:, c], fe.cd_u, fe.tab_u.phi) for c in range(3))
     assert num / den < 1e-6
 
 
@@ -212,7 +216,7 @@ def test_surface_flux_bc():
     st = model.run(st0, n_info=0)
     wq = jnp.asarray(fe.geom.wq)
     phi = jnp.asarray(fe.tab_b.phi)
-    cd = jnp.asarray(fe.spaces.b_space.cell_dofs)
+    cd = jnp.asarray(fe.cd_b)
 
     def mean_b(bvals):
         fq = jnp.einsum("qi,ci->cq", phi, jnp.asarray(bvals)[cd])
@@ -269,9 +273,9 @@ def test_eddy_parameterization_rebuild():
     fe = npg.FEData(mesh, spaces)
     ts = npg.BDF2(t_start=0, t_stop=12 * 0.05, dt=0.05)
     model = npg.PGModel(fe, params, forc, ts)
-    A0 = np.asarray(model.ops["A_inv"]).copy()
+    A0 = np.asarray(model.ops["A_inv_e"]).copy()
     st = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(2 * x[2]))
     st = model.run(st, n_info=0)
-    A1 = np.asarray(model.ops["A_inv"])
+    A1 = np.asarray(model.ops["A_inv_e"])
     assert np.isfinite(np.asarray(st.u)).all()
     assert np.abs(A1 - A0).max() > 1e-10  # matrix actually rebuilt

@@ -1,0 +1,86 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: sharded model
+step and distributed CG must reproduce single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nupgcm_tpu as npg
+from nupgcm_tpu.parallel.sharding import make_device_mesh, replicate_state, shard_model
+from nupgcm_tpu.parallel.spmv import row_shard_coo, sharded_cg
+
+
+def _bowl_setup():
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    params = npg.Parameters(
+        eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+        f=lambda x: 1.0 + 0.5 * x[1],
+        H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2),
+    )
+    kap = lambda x: 1e-2 + np.exp(-(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
+    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0, tau_y=0.0,
+                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    mesh = npg.generators.bowl2D(0.15, alpha)
+    spaces = npg.Spaces(
+        mesh,
+        u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True), (False, False, True)],
+        b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0],
+    )
+    fe = npg.FEData(mesh, spaces)
+    dt = 1e-4 * mu / (alpha * eps) ** 2
+    ts = npg.BDF2(t_start=0, t_stop=10 * dt, dt=dt)
+    return fe, params, forc, ts
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must configure 8 virtual devices"
+
+
+def test_sharded_step_matches_single_device():
+    fe, params, forc, ts = _bowl_setup()
+    m1 = npg.PGModel(fe, params, forc, ts)
+    s1 = m1.run(m1.rest_state(), n_info=0, max_steps=5)
+
+    m2 = npg.PGModel(fe, params, forc, ts)
+    mesh = make_device_mesh(8)
+    shard_model(m2, mesh)
+    s2 = replicate_state(m2.rest_state(), mesh)
+    s2 = m2.run(s2, n_info=0, max_steps=5)
+
+    assert np.allclose(np.asarray(s1.b), np.asarray(s2.b), atol=1e-10)
+    assert np.allclose(np.asarray(s1.u), np.asarray(s2.u), atol=1e-8)
+
+
+def test_sharded_cg_matches_cg():
+    """Distributed row-sharded CG vs single-device CG on the real
+    evolution operator."""
+    fe, params, forc, ts = _bowl_setup()
+    model = npg.PGModel(fe, params, forc, ts)
+    import jax.numpy as jnp_
+    ops = model.ops
+    theta = float(ts.dt) * params.a2e2 / params.mu_rho
+    elem = ops["M_e"] + theta * (ops["Kh_e"] + ops["Kv_e"])
+    plan = fe.plan_b
+    vals = plan.assemble(jnp_.asarray(elem))
+    n = fe.spaces.n_b
+    free = model.const["free_b"]
+
+    from nupgcm_tpu.ops.sparse import MaskedOperator, coo_from_plan
+    from nupgcm_tpu.solvers.cg import cg
+
+    A = MaskedOperator(coo_from_plan(plan, vals), free)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(n))
+    dinv = 1.0 / A.diagonal()
+    x_ref, st = cg(A, b, jnp.zeros(n), M_diag_inv=dinv, atol=1e-12, rtol=1e-12)
+
+    mesh = make_device_mesh(8)
+    Ashard = row_shard_coo(plan.rows, plan.cols, np.asarray(vals), n, 8)
+    x_dist, iters = sharded_cg(
+        Ashard, free, b, jnp.zeros(n), dinv, mesh, atol=1e-12, rtol=1e-12
+    )
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_dist), atol=1e-9)
+    assert int(iters) > 0
