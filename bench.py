@@ -44,9 +44,9 @@ def build(dtype_str="float32"):
     )
     forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0, tau_y=0.0,
                         b_surface_bc=npg.SurfaceDirichletBC(0.0))
-    # h tuned so free inversion DoFs ~ 16k (matches the reference's
-    # bowl3D h=0.1 test mesh scale)
-    mesh = npg.generators.bowl3D(0.16, alpha, nz=4)
+    # h tuned so free inversion DoFs ~ 16.5k (matches the reference's
+    # 15,946-DoF bowl3D inversion-log experiment scale)
+    mesh = npg.generators.bowl3D(0.14, alpha, nz=5)
     spaces = npg.Spaces(
         mesh,
         u_diri_tags=["bottom", "coastline", "surface"],

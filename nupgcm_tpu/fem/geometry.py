@@ -75,12 +75,15 @@ def facet_geometry(mesh: Mesh, facets: np.ndarray, degree: int) -> FacetGeometry
     return FacetGeometry(fdim=fdim, wq=wq, xq=xq)
 
 
-def grad_embedding(tdim: int) -> np.ndarray:
+def grad_embedding(mesh_or_tdim) -> np.ndarray:
     """(tdim, 3) matrix E mapping plane gradient components to global
-    3D axes: 2D plane axes are (x, z), 3D is identity."""
-    if tdim == 2:
-        E = np.zeros((2, 3))
-        E[0, 0] = 1.0  # d/dx
-        E[1, 2] = 1.0  # d/dz
-        return E
-    return np.eye(3)
+    3D axes; derived from the mesh's plane axes (x-z slices by
+    default, y-z for meridional channel sections), identity in 3D."""
+    if hasattr(mesh_or_tdim, "plane_axes"):
+        axes = mesh_or_tdim.plane_axes
+    else:
+        axes = [0, 2] if mesh_or_tdim == 2 else [0, 1, 2]
+    E = np.zeros((len(axes), 3))
+    for i, a in enumerate(axes):
+        E[i, a] = 1.0
+    return E

@@ -46,6 +46,23 @@ class ScalarSpace:
         # identity renumbering by default
         self._dof_coords = None
 
+        # periodic dof identification: slave dofs redirect to masters
+        # (the dof-level analog of gmsh setPeriodic, reference
+        # meshes/channel.jl:19-25); slaves become inactive (pinned 0).
+        self.active = np.ones(self.ndof, dtype=bool)
+        self._dof_map = np.arange(self.ndof)
+        pp = mesh.periodic_pairs
+        if pp is not None and len(pp):
+            self._dof_map[pp[:, 0]] = pp[:, 1]
+            self.active[pp[:, 0]] = False
+            if order == 2:
+                ep = mesh.periodic_edge_pairs()
+                self._dof_map[nv + ep[:, 0]] = nv + ep[:, 1]
+                self.active[nv + ep[:, 0]] = False
+            self.cell_dofs = self._dof_map[self.cell_dofs]
+        # original-numbering copy for tag lookups after renumbering
+        self._dof_map_orig = self._dof_map.copy()
+
     # -- dof geometry --------------------------------------------------
     @property
     def dof_coords(self) -> np.ndarray:
@@ -69,19 +86,21 @@ class ScalarSpace:
 
     # -- boundary dofs -------------------------------------------------
     def tagged_dofs(self, tag_names) -> np.ndarray:
-        """Dof ids (current numbering) in the closure of the tags."""
+        """Dof ids (current numbering) in the closure of the tags;
+        periodic slaves resolve to their masters."""
         v, e = self.mesh.tag_closure(tag_names)
         ids = v if self.order == 1 else np.concatenate([v, self.mesh.n_vertices + e])
-        return self.map_ids(ids)
+        return np.unique(self.map_ids(self._dof_map_orig[ids]))
 
     def facet_dofs(self, facets: np.ndarray) -> np.ndarray:
         """(nf, nloc_f) dofs of boundary facets, local order = facet
         vertices then facet edges (matching reference.tabulate on the
         facet simplex)."""
         if self.order == 1:
-            return self.map_ids(facets)
+            return self.map_ids(self._dof_map_orig[facets])
         fe = self.mesh.facet_edges(facets)
-        return self.map_ids(np.hstack([facets, self.mesh.n_vertices + fe]))
+        ids = np.hstack([facets, self.mesh.n_vertices + fe])
+        return self.map_ids(self._dof_map_orig[ids])
 
     # -- renumbering ---------------------------------------------------
     def rcm_permutation(self) -> np.ndarray:
@@ -109,6 +128,7 @@ class ScalarSpace:
             self._dof_coords = self._dof_coords[perm]
         self._perm = perm
         self._inv_perm = inv
+        self.active = self.active[perm]
         return inv
 
     def map_ids(self, old_ids: np.ndarray) -> np.ndarray:
@@ -116,6 +136,15 @@ class ScalarSpace:
         if hasattr(self, "_inv_perm"):
             return self._inv_perm[old_ids]
         return old_ids
+
+    def resolve_periodic(self, vals: np.ndarray) -> np.ndarray:
+        """Fill periodic slave dof entries with their master values
+        (current numbering) -- for output/visualization."""
+        if self.mesh.periodic_pairs is None:
+            return vals
+        orig = self._perm if hasattr(self, "_perm") else np.arange(self.ndof)
+        cur_map = self.map_ids(self._dof_map_orig[orig])
+        return np.asarray(vals)[cur_map]
 
 
 def _eval_coeff(f, x: np.ndarray):

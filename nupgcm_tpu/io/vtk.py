@@ -40,7 +40,7 @@ def _space_to_p2(space, vals):
     edge-midpoint averages (exact for P1).
     """
     mesh = space.mesh
-    vals = np.asarray(vals)
+    vals = space.resolve_periodic(np.asarray(vals))
     n_pts = mesh.n_vertices + mesh.n_edges
     if space.order == 2:
         if hasattr(space, "_perm"):

@@ -66,10 +66,15 @@ def find_edges(edges_keys_sorted, edges_order, pairs: np.ndarray, nv: int) -> np
 @dataclass
 class Mesh:
     tdim: int
-    coords: np.ndarray  # (nv, 3) float64; y == 0 for tdim == 2
+    coords: np.ndarray  # (nv, 3) float64
     cells: np.ndarray  # (nc, tdim+1) int64 vertex ids
     # physical groups: name -> {dim: (n, dim+1) vertex-id simplices}
     tagged: dict = field(default_factory=dict)
+    # in-plane coordinate columns for 2D meshes: [0, 2] = x-z slice
+    # (bowl sections), [1, 2] = y-z slice (meridional channel sections)
+    plane: tuple = None
+    # periodic identification: (n, 2) [slave_vertex, master_vertex]
+    periodic_pairs: np.ndarray = None
 
     # derived (filled in __post_init__)
     edges: np.ndarray = None
@@ -101,7 +106,25 @@ class Mesh:
     @property
     def plane_axes(self) -> list[int]:
         """Coordinate columns spanning the mesh plane/volume."""
-        return [0, 2] if self.tdim == 2 else [0, 1, 2]
+        if self.tdim == 3:
+            return [0, 1, 2]
+        return list(self.plane) if self.plane is not None else [0, 2]
+
+    def periodic_edge_pairs(self) -> np.ndarray:
+        """(n, 2) [slave_edge, master_edge] ids induced by the vertex
+        periodic_pairs: an edge whose endpoints are both slaves maps to
+        the edge of the corresponding masters."""
+        if self.periodic_pairs is None or len(self.periodic_pairs) == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        s2m = -np.ones(self.n_vertices, dtype=np.int64)
+        s2m[self.periodic_pairs[:, 0]] = self.periodic_pairs[:, 1]
+        e = self.edges
+        both = (s2m[e[:, 0]] >= 0) & (s2m[e[:, 1]] >= 0)
+        slave_e = np.where(both)[0]
+        master_pairs = np.stack([s2m[e[slave_e, 0]], s2m[e[slave_e, 1]]], axis=1)
+        master_ids = find_edges(self._edge_keys, self._edge_order,
+                                master_pairs, self.n_vertices)
+        return np.stack([slave_e, master_ids], axis=1)
 
     # -- geometry ------------------------------------------------------
     def cell_coords(self) -> np.ndarray:
@@ -216,8 +239,38 @@ class Mesh:
         return np.linalg.norm(c, axis=1)
 
     def summary(self) -> str:
+        per = (
+            f", periodic pairs={len(self.periodic_pairs)}"
+            if self.periodic_pairs is not None else ""
+        )
         return (
             f"Mesh(tdim={self.tdim}, {self.n_vertices} vertices, "
             f"{self.n_cells} cells, {self.n_edges} edges, "
-            f"tags={self.tag_names()})"
+            f"tags={self.tag_names()}{per})"
         )
+
+
+def detect_periodic_pairs(mesh: Mesh, axis: int = 0, tol: float = 1e-9) -> np.ndarray:
+    """Match boundary vertices on the axis-max plane (slaves) to
+    translated partners on the axis-min plane (masters) by the
+    remaining coordinates -- the reader-side analog of gmsh's
+    ``setPeriodic`` (reference meshes/channel.jl:19-25).  Returns the
+    (n, 2) [slave, master] array to store in ``mesh.periodic_pairs``.
+    """
+    x = mesh.coords[:, axis]
+    lo, hi = x.min(), x.max()
+    slaves = np.where(np.abs(x - hi) < tol)[0]
+    masters = np.where(np.abs(x - lo) < tol)[0]
+    other = [a for a in range(3) if a != axis]
+    key_m = mesh.coords[masters][:, other]
+    key_s = mesh.coords[slaves][:, other]
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(key_m)
+    d, idx = tree.query(key_s)
+    if np.any(d > 10 * tol + 1e-12):
+        raise ValueError(
+            f"periodic match failed: max mismatch {d.max():.2e} "
+            f"(meshes must have congruent boundary triangulations)"
+        )
+    return np.stack([slaves, masters[idx]], axis=1)

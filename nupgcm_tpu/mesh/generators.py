@@ -197,6 +197,197 @@ def bowl2D(h: float, alpha: float = 0.5, depth=None) -> Mesh:
     return Mesh(tdim=2, coords=coords, cells=cells, tagged=tagged)
 
 
+def _strip_columns(ys, depth, h, add_node):
+    """Column-strip triangulation helper shared by the x-z/y-z slice
+    generators: quasi-uniform vertical chains per abscissa, two-pointer
+    strips between neighbors.  Returns (columns, cells)."""
+    columns = []
+    for y in ys:
+        Hy = max(depth(y), 0.0)
+        if Hy <= 1e-14:
+            columns.append(np.array([add_node(y, 0.0)]))
+        else:
+            nzi = max(1, int(round(Hy / h)))
+            zs = np.linspace(-Hy, 0.0, nzi + 1)
+            columns.append(np.array([add_node(y, z) for z in zs]))
+    return columns
+
+
+def channel2D(h: float, alpha: float = 0.5) -> Mesh:
+    """2D meridional (y-z) channel section with curved bottom and a
+    basin wall, matching the reference channel2D geometry
+    (reference meshes/mesh_channel2D.jl:4-42): y in [-1, -0.5], depth
+    H = alpha, bottom descends along a quadratic Bezier over
+    L_curve = 0.1875 then runs flat to the vertical "basin" wall at
+    y = -0.5.  Tags: "bottom", "surface", "basin", "coastline".
+    """
+    H = alpha
+    L_channel = 0.5
+    L_flat = L_channel / 4.0
+    L_curve = (L_channel - L_flat) / 2.0
+    y0, y1 = -1.0, -0.5
+
+    def depth(y):
+        if y <= y0 + L_curve:
+            t = (y - y0) / L_curve
+            return H * t * (2.0 - t)  # quadratic Bezier profile
+        return H
+
+    ny = max(4, int(round((y1 - y0) / h)))
+    ys = np.linspace(y0, y1, ny + 1)
+    coords = []
+
+    def add_node(y, z):
+        coords.append((0.0, y, z))
+        return len(coords) - 1
+
+    columns = _strip_columns(ys, depth, h, add_node)
+    cells = []
+    for ci in range(ny):
+        A, B = columns[ci], columns[ci + 1]
+        a = b = 0
+        cs = np.array(coords)
+        while a < len(A) - 1 or b < len(B) - 1:
+            can_a, can_b = a < len(A) - 1, b < len(B) - 1
+            if can_a and can_b:
+                da = np.linalg.norm(cs[A[a + 1]] - cs[B[b]])
+                db = np.linalg.norm(cs[B[b + 1]] - cs[A[a]])
+                use_a = da <= db
+            else:
+                use_a = can_a
+            if use_a:
+                cells.append((A[a], B[b], A[a + 1]))
+                a += 1
+            else:
+                cells.append((A[a], B[b], B[b + 1]))
+                b += 1
+    cells = np.array(cells, dtype=np.int64)
+    coords = np.array(coords)
+
+    tops = np.array([c[-1] for c in columns])
+    bots = np.array([c[0] for c in columns])
+    surface = np.stack([tops[:-1], tops[1:]], axis=1)
+    bottom = np.stack([bots[:-1], bots[1:]], axis=1)
+    wall = columns[-1]
+    basin = np.stack([wall[:-1], wall[1:]], axis=1)
+    coast = np.array([[columns[0][0]]])
+    tagged = {
+        "surface": {1: surface},
+        "bottom": {1: bottom},
+        "basin": {1: basin},
+        "coastline": {0: coast},
+        "interior": {2: cells},
+    }
+    return Mesh(tdim=2, coords=coords, cells=cells, tagged=tagged, plane=(1, 2))
+
+
+def boundary_facets(cells: np.ndarray) -> np.ndarray:
+    """Facets of a simplex mesh appearing in exactly one cell."""
+    tdim = cells.shape[1] - 1
+    from itertools import combinations
+
+    faces = {}
+    for c in cells:
+        for f in combinations(sorted(c.tolist()), tdim):
+            faces[f] = faces.get(f, 0) + 1
+    return np.array([f for f, n in faces.items() if n == 1], dtype=np.int64)
+
+
+def channel3D(h: float, W: float = 0.5, D0: float = 0.5, Lx: float = 1.0,
+              nz: int | None = None) -> Mesh:
+    """Re-entrant (x-periodic) 3D channel: parabolic cross-section
+    depth D(y) = D0 (1 - (2y/W)^2), y in [-W/2, W/2], extruded along
+    x in [0, Lx] -- the reference's ``channel.msh`` geometry
+    (reference meshes/channel.jl:8-25, incl. the setPeriodic x-BC).
+
+    Tags: "bottom", "surface", "coastline", "interior";
+    ``mesh.periodic_pairs`` identifies the x = Lx plane with x = 0.
+    """
+    def depth(y):
+        s = 2.0 * y / W
+        return D0 * (1.0 - s * s)
+
+    # cross-section strip mesh in (y, z)
+    ny = max(4, int(round(W / h)))
+    ys = np.linspace(-W / 2, W / 2, ny + 1)
+    cs_coords = []
+
+    def add_cs(y, z):
+        cs_coords.append((y, z))
+        return len(cs_coords) - 1
+
+    columns = _strip_columns(ys, depth, h, add_cs)
+    cs_coords = np.array(cs_coords)
+    cs = np.array(cs_coords)
+    tris = []
+    for ci in range(ny):
+        A, B = columns[ci], columns[ci + 1]
+        a = b = 0
+        while a < len(A) - 1 or b < len(B) - 1:
+            can_a, can_b = a < len(A) - 1, b < len(B) - 1
+            if can_a and can_b:
+                da = np.linalg.norm(cs[A[a + 1]] - cs[B[b]])
+                db = np.linalg.norm(cs[B[b + 1]] - cs[A[a]])
+                use_a = da <= db
+            else:
+                use_a = can_a
+            if use_a:
+                tris.append((A[a], B[b], A[a + 1]))
+                a += 1
+            else:
+                tris.append((A[a], B[b], B[b + 1]))
+                b += 1
+    tris = np.array(tris, dtype=np.int64)
+    ncs = len(cs_coords)
+
+    # extrude along x
+    nx = max(2, int(round(Lx / h)))
+    node_id = np.arange((nx + 1) * ncs).reshape(nx + 1, ncs)
+    coords = np.zeros(((nx + 1) * ncs, 3))
+    for lev in range(nx + 1):
+        coords[node_id[lev], 0] = Lx * lev / nx
+        coords[node_id[lev], 1] = cs_coords[:, 0]
+        coords[node_id[lev], 2] = cs_coords[:, 1]
+
+    tets = []
+    for (a, b, c) in tris:
+        for lev in range(nx):
+            prism = [
+                node_id[lev, a], node_id[lev, b], node_id[lev, c],
+                node_id[lev + 1, a], node_id[lev + 1, b], node_id[lev + 1, c],
+            ]
+            tets.extend(_split_prism(prism))
+    tets = np.array(tets, dtype=np.int64)
+
+    # classify boundary facets by plane
+    bf = boundary_facets(tets)
+    z = coords[:, 2]
+    x = coords[:, 0]
+    on_sfc = np.all(np.abs(z[bf]) < 1e-12, axis=1)
+    on_end = np.all(np.abs(x[bf]) < 1e-12, axis=1) | np.all(
+        np.abs(x[bf] - Lx) < 1e-12, axis=1
+    )
+    surface = bf[on_sfc & ~on_end]
+    bottom = bf[~on_sfc & ~on_end]
+    # coastline: the two surface side lines y = +-W/2
+    coast_rows = [columns[0][0], columns[-1][0]]
+    coast = []
+    for r in coast_rows:
+        ids = node_id[:, r]
+        coast.append(np.stack([ids[:-1], ids[1:]], axis=1))
+    coast = np.vstack(coast)
+
+    pairs = np.stack([node_id[nx], node_id[0]], axis=1)
+    tagged = {
+        "surface": {2: surface},
+        "bottom": {2: bottom},
+        "coastline": {1: coast},
+        "interior": {3: tets},
+    }
+    return Mesh(tdim=3, coords=coords, cells=tets, tagged=tagged,
+                periodic_pairs=pairs)
+
+
 # ----------------------------------------------------------------------
 # 3D bowl: triangulated disk base x sigma layers, prisms -> tets
 # ----------------------------------------------------------------------

@@ -97,7 +97,7 @@ class FEData:
 
         # volume geometry + reference tables
         self.geom: CellGeometry = cell_geometry(mesh, degree)
-        self.embed = grad_embedding(mesh.tdim)
+        self.embed = grad_embedding(mesh)
         self.tab_u = element_tables(mesh.tdim, spaces.u_order, degree)
         self.tab_p = element_tables(mesh.tdim, spaces.u_order - 1, degree)
         self.tab_b = element_tables(mesh.tdim, spaces.b_order, degree)

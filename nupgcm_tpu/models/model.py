@@ -99,8 +99,10 @@ class PGModel:
         evo_rtol=1e-6,
         evo_itmax=0,
         preconditioner: str = "blockstokes",
-        inner_iters_u: int = 30,
+        inner_iters_u: int = 10,
         inner_iters_p: int = 5,
+        inner_method: str = "chebyshev",
+        cond_ratio: float = 20.0,
     ):
         self.fe = fe
         self.params = params
@@ -113,6 +115,8 @@ class PGModel:
         self.evo_opts = dict(atol=evo_atol, rtol=evo_rtol, itmax=evo_itmax)
         self.precond_kind = preconditioner
         self.inner_iters = (inner_iters_u, inner_iters_p)
+        self.inner_method = inner_method
+        self.cond_ratio = cond_ratio
 
         self._build_constants()
         self._build_operators()
@@ -159,14 +163,23 @@ class PGModel:
         c["tauy_q"] = jnp.asarray(_quad_eval(fr.tau_y, surf.geom.xq, dt))
 
         # Dirichlet masks / values
+        # Dirichlet masks; periodic slave dofs are inactive -> pinned 0
         u_bc, b_bc = sp.u_bc, sp.b_bc
-        free_u = jnp.asarray((~u_bc.mask).reshape(-1).astype(np.float64), dt)
+        act_u = sp.u_space.active[:, None]
+        free_u = jnp.asarray(
+            ((~u_bc.mask) & act_u).reshape(-1).astype(np.float64), dt
+        )
         c["free_u"] = free_u
-        c["udiri"] = jnp.asarray(u_bc.values.reshape(-1), dt)
-        c["free_b"] = jnp.asarray((~b_bc.mask).astype(np.float64), dt)
-        c["bdiri"] = jnp.asarray(b_bc.values, dt)
-        # combined inversion mask: velocity masks + all-free pressure
-        c["free_inv"] = jnp.concatenate([free_u, jnp.ones(sp.n_p, dt)])
+        c["udiri"] = jnp.asarray(
+            (u_bc.values * sp.u_space.active[:, None]).reshape(-1), dt
+        )
+        c["free_b"] = jnp.asarray(
+            ((~b_bc.mask) & sp.b_space.active).astype(np.float64), dt
+        )
+        c["bdiri"] = jnp.asarray(b_bc.values * sp.b_space.active, dt)
+        # combined inversion mask: velocity masks + active pressure
+        free_p = jnp.asarray(sp.p_space.active.astype(np.float64), dt)
+        c["free_inv"] = jnp.concatenate([free_u, free_p])
         c["xdiri_inv"] = jnp.concatenate([c["udiri"], jnp.zeros(sp.n_p, dt)])
         self.const = c
 
@@ -244,6 +257,28 @@ class PGModel:
             ops["p_volw"] = fe.vec_plan_p.assemble(
                 jnp.einsum("cq,qk->ck", c["wq"], c["phi_p"])
             )
+
+            # spectral bounds for the Chebyshev inner smoothers
+            visc = ElementOperator(
+                Ae=ops["visc_e"],
+                cd_rows=jnp.asarray(fe.cd_u3, jnp.int32),
+                cd_cols=jnp.asarray(fe.cd_u3, jnp.int32),
+                row_plan=fe.vec_plan_u3,
+            )
+            mp = ElementOperator(
+                Ae=ops["Mp_e"],
+                cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
+                cd_cols=jnp.asarray(fe.cd_p, jnp.int32),
+                row_plan=fe.vec_plan_p,
+            )
+            visc_op = MaskedOperator(visc, c["free_u"])
+            mp_op = MaskedOperator(mp, c["free_inv"][sp.n_u:])
+            from ..solvers.preconditioners import power_lmax
+
+            ops["lmax_u"] = power_lmax(
+                visc_op, 1.0 / visc_op.diagonal(), sp.n_u
+            )
+            ops["lmax_p"] = power_lmax(mp_op, 1.0 / mp_op.diagonal(), sp.n_p)
             return ops
 
         ops = setup()
@@ -311,15 +346,20 @@ class PGModel:
             row_plan=fe.vec_plan_p,
         )
         visc_op = MaskedOperator(visc, c["free_u"])
+        mp_op = MaskedOperator(mp, c["free_inv"][self.fe.spaces.n_u:])
         iu, ip = self.inner_iters
         M = BlockStokesPrecond(
             visc_op=visc_op,
             visc_diag_inv=1.0 / visc_op.diagonal(),
-            mp_op=mp.matvec,
-            mp_diag_inv=1.0 / mp.diagonal(),
+            mp_op=mp_op,
+            mp_diag_inv=1.0 / mp_op.diagonal(),
             nu_dofs=self.fe.spaces.n_u,
             inner_iters_u=iu,
             inner_iters_p=ip,
+            method=self.inner_method,
+            lmax_u=ops["lmax_u"],
+            lmax_p=ops["lmax_p"],
+            cond_ratio=self.cond_ratio,
         )
         return M, True
 
