@@ -129,6 +129,28 @@ def box_mesh(nx: int, ny: int, nz: int, lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0)) 
     return Mesh(tdim=3, coords=coords, cells=cells, tagged=tagged)
 
 
+def sphere_mesh(n: int = 8, radius: float = 1.0) -> Mesh:
+    """Solid ball tet mesh via the cube-to-ball radial map
+    (reference meshes/mesh_sphere.jl: gmsh occ sphere with
+    "boundary"/"interior" groups).
+
+    ``n``: cells per cube half-axis (resolution ~ radius/n).
+    """
+    m = box_mesh(2 * n, 2 * n, 2 * n, lo=(-1, -1, -1), hi=(1, 1, 1))
+    p = m.coords.copy()
+    linf = np.abs(p).max(axis=1)
+    l2 = np.linalg.norm(p, axis=1)
+    scale = np.where(l2 > 0, linf / np.where(l2 > 0, l2, 1.0), 0.0)
+    coords = radius * p * scale[:, None]
+    bf = m.tagged["boundary"][2]
+    tagged = {
+        "boundary": {2: bf},
+        "surface": {2: bf},
+        "interior": {3: m.cells},
+    }
+    return Mesh(tdim=3, coords=coords, cells=m.cells.copy(), tagged=tagged)
+
+
 # ----------------------------------------------------------------------
 # 2D bowl (x-z plane), quasi-uniform column strips
 # ----------------------------------------------------------------------
