@@ -105,14 +105,18 @@ class ScalarSpace:
     # -- renumbering ---------------------------------------------------
     def rcm_permutation(self) -> np.ndarray:
         """perm such that new_id = perm_inv[old_id]; returns the RCM
-        ordering computed on the dof connectivity graph."""
+        ordering computed on the dof connectivity graph (native
+        meshkit with George-Liu pseudo-peripheral starts when
+        available, scipy otherwise)."""
         rows = np.repeat(self.cell_dofs, self.nloc, axis=1).ravel()
         cols = np.tile(self.cell_dofs, (1, self.nloc)).ravel()
         g = sp.csr_matrix(
             (np.ones(len(rows), dtype=np.int8), (rows, cols)), shape=(self.ndof, self.ndof)
         )
-        perm = reverse_cuthill_mckee(g, symmetric_mode=True)
-        return np.asarray(perm, dtype=np.int64)
+        g.sum_duplicates()
+        from ..mesh import native
+
+        return native.rcm(g.indptr, g.indices)
 
     def renumber(self, perm: np.ndarray) -> np.ndarray:
         """Apply dof permutation: ``perm[k]`` = old dof id of new dof k.
@@ -136,6 +140,22 @@ class ScalarSpace:
         if hasattr(self, "_inv_perm"):
             return self._inv_perm[old_ids]
         return old_ids
+
+    def to_original_order(self, vals: np.ndarray) -> np.ndarray:
+        """Map a dof vector to the mesh-canonical (pre-renumbering)
+        order -- invariant to the RCM strategy, for golden files."""
+        vals = np.asarray(vals)
+        if not hasattr(self, "_perm"):
+            return vals.copy()
+        out = np.empty_like(vals)
+        out[self._perm] = vals
+        return out
+
+    def from_original_order(self, vals: np.ndarray) -> np.ndarray:
+        vals = np.asarray(vals)
+        if not hasattr(self, "_perm"):
+            return vals.copy()
+        return vals[self._perm]
 
     def resolve_periodic(self, vals: np.ndarray) -> np.ndarray:
         """Fill periodic slave dof entries with their master values

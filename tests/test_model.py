@@ -144,23 +144,31 @@ def test_bowl_mixing_regression(bowl_model):
 
     model, st = bowl_model
     fe = model.fe
+    bs = fe.spaces.b_space
+    us = fe.spaces.u_space
     datafile = pathlib.Path(__file__).parent / "data" / "bowl_mixing_2d.npz"
+    # store in mesh-canonical dof order so the golden file is
+    # invariant to the RCM/renumbering strategy
     b = np.asarray(st.b)
-    u = np.asarray(st.u).reshape(-1)
+    u = np.asarray(st.u)
+    b_can = bs.to_original_order(b)
+    u_can = np.stack([us.to_original_order(u[:, c]) for c in range(3)], axis=1)
     if not datafile.exists():
         datafile.parent.mkdir(exist_ok=True)
-        np.savez(datafile, b=b, u=u, t=float(st.t))
+        np.savez(datafile, b=b_can, u=u_can.reshape(-1), t=float(st.t))
         pytest.skip("golden data generated; rerun to compare")
     ref = np.load(datafile)
-    bs = fe.spaces.b_space
-    num = integral_l2(fe, b - ref["b"], fe.cd_b, fe.tab_b.phi)
-    den = integral_l2(fe, ref["b"], fe.cd_b, fe.tab_b.phi)
+    ref_b = bs.from_original_order(ref["b"])
+    num = integral_l2(fe, b - ref_b, fe.cd_b, fe.tab_b.phi)
+    den = integral_l2(fe, ref_b, fe.cd_b, fe.tab_b.phi)
     # reference acceptance bar: rel. L2 < 1e-3 (solver-parameter
     # changes legitimately move iterates below this level)
     assert num / den < 1e-3
-    us = fe.spaces.u_space
-    du = (u - ref["u"]).reshape(-1, 3)
-    uref = ref["u"].reshape(-1, 3)
+    uref_can = ref["u"].reshape(-1, 3)
+    uref = np.stack(
+        [us.from_original_order(uref_can[:, c]) for c in range(3)], axis=1
+    )
+    du = u - uref
     num = sum(integral_l2(fe, du[:, c], fe.cd_u, fe.tab_u.phi) for c in range(3))
     den = sum(integral_l2(fe, uref[:, c], fe.cd_u, fe.tab_u.phi) for c in range(3))
     assert num / den < 1e-3
