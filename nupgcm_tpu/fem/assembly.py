@@ -96,6 +96,15 @@ class VectorPlan:
             indices_are_sorted=True,
         )
 
+    def assemble_rows(self, row_vals: jnp.ndarray) -> jnp.ndarray:
+        """Scatter (n_entries, k) rows -> (ndof, k): one index per row
+        of k values (used for node-grouped 3-vector scatters)."""
+        v = row_vals.reshape(-1, row_vals.shape[-1])[self.gather_perm]
+        return jax.ops.segment_sum(
+            v, jnp.asarray(self.dof_sorted), num_segments=self.ndof,
+            indices_are_sorted=True,
+        )
+
 
 def build_vector_plan(dofs: np.ndarray, ndof: int) -> VectorPlan:
     flat = dofs.reshape(-1)

@@ -144,6 +144,8 @@ class FEData:
         self.vec_plan_inv = build_vector_plan(self.cell_dofs_inv, self.n_inv)
         self.vec_plan_u3 = build_vector_plan(cd_u3, 3 * us.ndof)
         self.vec_plan_u3_inv = build_vector_plan(cd_u3, self.n_inv)
+        # node-grouped velocity scatter (one index per 3-vector row)
+        self.vec_plan_u_nodes = build_vector_plan(self.cd_u, us.ndof)
 
         # assembled-sparsity plans (diagnostics / scipy export / tests);
         # built lazily -- the solver hot path is element-local

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..fem import assembly as asm
 from ..fem.spaces import _eval_coeff
-from ..ops.element import ElementOperator
+from ..ops.element import ElementOperator, SaddleOperator
 from ..ops.sparse import COOMatrix, MaskedOperator, coo_from_plan
 from ..solvers.cg import cg
 from ..solvers.gmres import gmres
@@ -103,6 +103,7 @@ class PGModel:
         inner_iters_p: int = 5,
         inner_method: str = "chebyshev",
         cond_ratio: float = 20.0,
+        assembly_chunk: int = 16384,
     ):
         self.fe = fe
         self.params = params
@@ -117,6 +118,7 @@ class PGModel:
         self.inner_iters = (inner_iters_u, inner_iters_p)
         self.inner_method = inner_method
         self.cond_ratio = cond_ratio
+        self.assembly_chunk = assembly_chunk
 
         self._build_constants()
         self._build_operators()
@@ -194,43 +196,88 @@ class PGModel:
         c = self.const
         return asm.physical_grads(c["invJT"], c["dphi_b"], c["embed"])
 
+    def _chunked_cells(self, fn, *cell_arrays):
+        """Apply a per-cell-block element builder via lax.map to bound
+        transient memory: fn(blocks...) -> (chunk, ...) tensors.
+
+        Chunk size adapts so huge meshes assemble block-by-block; the
+        padded cell count is always a multiple of pad_multiple, so we
+        pick a divisor chunk.
+        """
+        nc = cell_arrays[0].shape[0]
+        target = self.assembly_chunk
+        if nc <= target:
+            return fn(*cell_arrays)
+        # largest divisor of nc not exceeding target
+        chunk = 1
+        for d in range(1, int(np.sqrt(nc)) + 1):
+            if nc % d == 0:
+                if d <= target:
+                    chunk = max(chunk, d)
+                q = nc // d
+                if q <= target:
+                    chunk = max(chunk, q)
+        nblk = nc // chunk
+        blocked = [a.reshape((nblk, chunk) + a.shape[1:]) for a in cell_arrays]
+        out = jax.lax.map(lambda args: fn(*args), tuple(blocked))
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape((nc,) + o.shape[2:]), out
+        )
+
     def _assemble_inversion_elems(self, nu_q):
         """Element tensors of the saddle operator -- kept element-local
         (never scattered to a sparse matrix): the Krylov hot loop
         applies them as batched dense matvecs (ops/element.py)."""
         c = self.const
-        Gu3 = self._grads_u()
-        return asm.elem_inversion(
-            c["wq"], nu_q, c["f_q"], c["phi_u"], Gu3, c["phi_p"],
-            jnp.asarray(self.params.a2e2, self.dtype), self.variable_nu,
-        )
+        a2e2 = jnp.asarray(self.params.a2e2, self.dtype)
+
+        def build(wq, nu_q, f_q, invJT):
+            Gu3 = asm.physical_grads(invJT, c["dphi_u"], c["embed"])
+            return asm.elem_inversion(
+                wq, nu_q, f_q, c["phi_u"], Gu3, c["phi_p"], a2e2,
+                self.variable_nu,
+            )
+
+        return self._chunked_cells(build, c["wq"], nu_q, c["f_q"], c["invJT"])
 
     def _assemble_visc_elems(self, nu_q):
         """Velocity-block preconditioner operator: viscous + |f| mass
-        (SPD approximation of the u-block for inner CG)."""
+        (SPD approximation of the u-block for inner Chebyshev/CG)."""
         c = self.const
-        Gu3 = self._grads_u()
-        lap = jnp.einsum("cq,cq,cqid,cqjd->cji", c["wq"], nu_q, Gu3, Gu3)
         a2e2 = jnp.asarray(self.params.a2e2, self.dtype)
-        mf = jnp.einsum("cq,cq,qj,qi->cji", c["wq"], jnp.abs(c["f_q"]), c["phi_u"], c["phi_u"])
         eye3 = jnp.eye(3, dtype=self.dtype)
         nlu = c["phi_u"].shape[1]
-        nc = c["wq"].shape[0]
-        elem = jnp.einsum("cji,ba->cjbia", a2e2 * lap + mf, eye3)
-        return elem.reshape(nc, 3 * nlu, 3 * nlu)
+
+        def build(wq, nu_q, f_q, invJT):
+            Gu3 = asm.physical_grads(invJT, c["dphi_u"], c["embed"])
+            lap = jnp.einsum("cq,cq,cqid,cqjd->cji", wq, nu_q, Gu3, Gu3)
+            mf = jnp.einsum("cq,cq,qj,qi->cji", wq, jnp.abs(f_q),
+                            c["phi_u"], c["phi_u"])
+            elem = jnp.einsum("cji,ba->cjbia", a2e2 * lap + mf, eye3)
+            return elem.reshape(wq.shape[0], 3 * nlu, 3 * nlu)
+
+        return self._chunked_cells(build, c["wq"], nu_q, c["f_q"], c["invJT"])
 
     def _build_operators(self):
         fe, c, dt = self.fe, self.const, self.dtype
         pr, fr = self.params, self.forcings
         sp = fe.spaces
 
+        # separate small jits: faster compiles than one mega-graph and
+        # the heavy element builders are internally chunked (lax.map)
+        ops = {}
+        ops["A_inv_e"] = jax.jit(self._assemble_inversion_elems)(c["nu_q"])
+        ops["visc_e"] = jax.jit(self._assemble_visc_elems)(c["nu_q"])
+
         @jax.jit
-        def setup():
-            ops = {}
-            ops["A_inv_e"] = self._assemble_inversion_elems(c["nu_q"])
+        def setup_small():
+            o = {}
             Gb3 = self._grads_b()
-            ops["B_e"] = asm.elem_buoyancy_to_velocity(
-                c["wq"], c["phi_u"], c["phi_b"], jnp.asarray(1.0 / pr.alpha, dt)
+            o["B_e"] = self._chunked_cells(
+                lambda wq: asm.elem_buoyancy_to_velocity(
+                    wq, c["phi_u"], c["phi_b"], jnp.asarray(1.0 / pr.alpha, dt)
+                ),
+                c["wq"],
             )
             # wind-stress rhs over combined (u, p) vector
             wind = asm.elem_wind_rhs(
@@ -238,35 +285,31 @@ class PGModel:
                 jnp.asarray(pr.alpha, dt),
             )
             s_u = fe.vec_plan_u_surf.assemble(wind)
-            ops["s"] = jnp.concatenate([s_u, jnp.zeros(sp.n_p, dt)])
+            o["s"] = jnp.concatenate([s_u, jnp.zeros(sp.n_p, dt)])
 
             # evolution operators on the buoyancy space (element-local)
-            ops["M_e"] = asm.elem_mass(c["wq"], c["phi_b"], c["phi_b"])
-            ops["Kh_e"] = asm.elem_stiffness(c["wq"], c["kh_q"], Gb3, (0, 1))
-            ops["Kv_e"] = asm.elem_stiffness(c["wq"], c["kv_q"], Gb3, (2,))
-            ops["rhs_diff"] = fe.vec_plan_b.assemble(
+            o["M_e"] = asm.elem_mass(c["wq"], c["phi_b"], c["phi_b"])
+            o["Kh_e"] = asm.elem_stiffness(c["wq"], c["kh_q"], Gb3, (0, 1))
+            o["Kv_e"] = asm.elem_stiffness(c["wq"], c["kv_q"], Gb3, (2,))
+            o["rhs_diff"] = fe.vec_plan_b.assemble(
                 asm.elem_rhs_diff(c["wq"], c["kv_q"], Gb3, jnp.asarray(pr.N2, dt))
             )
-
-            # preconditioner blocks
-            ops["visc_e"] = self._assemble_visc_elems(c["nu_q"])
-            ops["Mp_e"] = asm.elem_mass(c["wq"], c["phi_p"], c["phi_p"]) / jnp.asarray(
+            o["Mp_e"] = asm.elem_mass(c["wq"], c["phi_p"], c["phi_p"]) / jnp.asarray(
                 pr.a2e2, dt
             )
             # pressure volume weights for the zero-mean constraint
-            ops["p_volw"] = fe.vec_plan_p.assemble(
+            o["p_volw"] = fe.vec_plan_p.assemble(
                 jnp.einsum("cq,qk->ck", c["wq"], c["phi_p"])
             )
+            return o
 
-            # spectral bounds for the Chebyshev inner smoothers
-            visc = ElementOperator(
-                Ae=ops["visc_e"],
-                cd_rows=jnp.asarray(fe.cd_u3, jnp.int32),
-                cd_cols=jnp.asarray(fe.cd_u3, jnp.int32),
-                row_plan=fe.vec_plan_u3,
-            )
+        ops.update(setup_small())
+
+        @jax.jit
+        def spectral_bounds(visc_e, Mp_e):
+            visc = self._visc_operator(visc_e)
             mp = ElementOperator(
-                Ae=ops["Mp_e"],
+                Ae=Mp_e,
                 cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
                 cd_cols=jnp.asarray(fe.cd_p, jnp.int32),
                 row_plan=fe.vec_plan_p,
@@ -275,13 +318,12 @@ class PGModel:
             mp_op = MaskedOperator(mp, c["free_inv"][sp.n_u:])
             from ..solvers.preconditioners import power_lmax
 
-            ops["lmax_u"] = power_lmax(
-                visc_op, 1.0 / visc_op.diagonal(), sp.n_u
+            return (
+                power_lmax(visc_op, 1.0 / visc_op.diagonal(), sp.n_u),
+                power_lmax(mp_op, 1.0 / mp_op.diagonal(), sp.n_p),
             )
-            ops["lmax_p"] = power_lmax(mp_op, 1.0 / mp_op.diagonal(), sp.n_p)
-            return ops
 
-        ops = setup()
+        ops["lmax_u"], ops["lmax_p"] = spectral_bounds(ops["visc_e"], ops["Mp_e"])
 
         # surface buoyancy-flux rhs (static; zero under Dirichlet BC)
         if isinstance(fr.b_surface_bc, SurfaceFluxBC):
@@ -298,23 +340,38 @@ class PGModel:
     # ------------------------------------------------------------------
     # pure step functions
     # ------------------------------------------------------------------
-    def _inv_matrix(self, ops) -> ElementOperator:
+    def _inv_matrix(self, ops) -> SaddleOperator:
         fe = self.fe
-        return ElementOperator(
+        return SaddleOperator(
             Ae=ops["A_inv_e"],
-            cd_rows=jnp.asarray(fe.cell_dofs_inv, jnp.int32),
-            cd_cols=jnp.asarray(fe.cell_dofs_inv, jnp.int32),
-            row_plan=fe.vec_plan_inv,
+            cd_u=self.const["cd_u"],
+            cd_p=jnp.asarray(fe.cd_p, jnp.int32),
+            u_plan=fe.vec_plan_u_nodes,
+            p_plan=fe.vec_plan_p,
+            n_u_nodes=fe.spaces.u_space.ndof,
         )
 
-    def _b_matrix(self, ops) -> ElementOperator:
+    def _visc_operator(self, visc_e) -> SaddleOperator:
         fe = self.fe
-        return ElementOperator(
-            Ae=ops["B_e"],
-            cd_rows=jnp.asarray(fe.cd_u3, jnp.int32),
-            cd_cols=self.const["cd_b"],
-            row_plan=fe.vec_plan_u3_inv,
+        nc = visc_e.shape[0]
+        return SaddleOperator(
+            Ae=visc_e,
+            cd_u=self.const["cd_u"],
+            cd_p=jnp.zeros((nc, 0), jnp.int32),
+            u_plan=fe.vec_plan_u_nodes,
+            p_plan=fe.vec_plan_p,
+            n_u_nodes=fe.spaces.u_space.ndof,
         )
+
+    def _b_matvec(self, ops, b_full):
+        """B b: buoyancy -> vertical momentum rows of the combined
+        vector (node-grouped velocity scatter)."""
+        fe = self.fe
+        c = self.const
+        b_e = b_full[c["cd_b"]]
+        ye = jnp.einsum("cij,cj->ci", ops["B_e"], b_e)  # (nc, 3*nlu)
+        yu = fe.vec_plan_u_nodes.assemble_rows(ye.reshape(-1, 3)).reshape(-1)
+        return jnp.concatenate([yu, jnp.zeros(fe.spaces.n_p, self.dtype)])
 
     def _evo_matrix(self, ops, theta, Kv_e=None) -> ElementOperator:
         fe = self.fe
@@ -333,12 +390,7 @@ class PGModel:
             scale = 1.0 / self.fe.h_median ** self.fe.mesh.tdim
             return lambda r: r / jnp.asarray(scale, self.dtype), False
         # block Stokes preconditioner (flexible GMRES)
-        visc = ElementOperator(
-            Ae=ops["visc_e"],
-            cd_rows=jnp.asarray(fe.cd_u3, jnp.int32),
-            cd_cols=jnp.asarray(fe.cd_u3, jnp.int32),
-            row_plan=fe.vec_plan_u3,
-        )
+        visc = self._visc_operator(ops["visc_e"])
         mp = ElementOperator(
             Ae=ops["Mp_e"],
             cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
@@ -371,7 +423,7 @@ class PGModel:
         fe = self.fe
         Amat = self._inv_matrix(ops)
         A = MaskedOperator(Amat, c["free_inv"])
-        y_full = self._b_matrix(ops).matvec(b_full) + ops["s"]
+        y_full = self._b_matvec(ops, b_full) + ops["s"]
         xd = c["xdiri_inv"] * (1.0 - c["free_inv"])
         y = jnp.where(
             c["free_inv"].astype(bool),

@@ -70,3 +70,81 @@ class ElementOperator:
     def with_elems(self, Ae: jnp.ndarray) -> "ElementOperator":
         return ElementOperator(Ae=Ae, cd_rows=self.cd_rows, cd_cols=self.cd_cols,
                                row_plan=self.row_plan)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SaddleOperator:
+    """Element-local operator over the combined (u, p) vector with
+    node-grouped velocity gathers.
+
+    TPU gathers cost per *index*, not per byte; velocity dofs are laid
+    out node-major (dof = 3*node + comp), so gathering/scattering the
+    velocity part as (n_nodes, 3) rows via scalar node ids uses 3x
+    fewer indices than the flat path -- measurably faster SpMV.
+
+    Ae: (nc, NL, NL') with NL = 3*nlu (+ nlp) combined local dofs,
+        velocity-major (local index 3*i + comp then pressure).
+    cd_u: (nc, nlu) scalar velocity node ids
+    cd_p: (nc, nlp) pressure dof ids (nlp may be 0)
+    u_plan / p_plan: VectorPlans over cd_u (node ids) and cd_p
+    n_u_nodes: velocity node count (static)
+    """
+
+    Ae: jnp.ndarray
+    cd_u: jnp.ndarray
+    cd_p: jnp.ndarray
+    u_plan: object
+    p_plan: object
+    n_u_nodes: int
+
+    def tree_flatten(self):
+        return (self.Ae, self.cd_u, self.cd_p), (
+            self.u_plan, self.p_plan, self.n_u_nodes,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        Ae, cd_u, cd_p = children
+        return cls(Ae=Ae, cd_u=cd_u, cd_p=cd_p, u_plan=aux[0], p_plan=aux[1],
+                   n_u_nodes=aux[2])
+
+    @property
+    def _nlu3(self):
+        return 3 * self.cd_u.shape[1]
+
+    def gather(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(n,) combined vector -> (nc, NL) element dofs."""
+        nu3 = 3 * self.n_u_nodes
+        xu3 = x[:nu3].reshape(-1, 3)
+        nc = self.cd_u.shape[0]
+        xe_u = xu3[self.cd_u].reshape(nc, self._nlu3)
+        if self.cd_p.shape[1] == 0:
+            return xe_u
+        xe_p = x[nu3:][self.cd_p]
+        return jnp.concatenate([xe_u, xe_p], axis=1)
+
+    def scatter(self, ye: jnp.ndarray) -> jnp.ndarray:
+        """(nc, NL) element contributions -> (n,) combined vector."""
+        nu3 = 3 * self.n_u_nodes
+        nlu3 = self._nlu3
+        yu3 = ye[:, :nlu3].reshape(-1, 3)
+        yu = self.u_plan.assemble_rows(yu3).reshape(-1)
+        if self.cd_p.shape[1] == 0:
+            return yu
+        yp = self.p_plan.assemble(ye[:, nlu3:])
+        return jnp.concatenate([yu, yp])
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        xe = self.gather(x)
+        ye = jnp.einsum("cij,cj->ci", self.Ae, xe)
+        return self.scatter(ye)
+
+    def diagonal(self) -> jnp.ndarray:
+        de = jnp.einsum("cii->ci", self.Ae)
+        return self.scatter(de)
+
+    def with_elems(self, Ae: jnp.ndarray) -> "SaddleOperator":
+        return SaddleOperator(Ae=Ae, cd_u=self.cd_u, cd_p=self.cd_p,
+                              u_plan=self.u_plan, p_plan=self.p_plan,
+                              n_u_nodes=self.n_u_nodes)
