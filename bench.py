@@ -83,10 +83,12 @@ def main():
     jax.block_until_ready(state2.u)
     log(f"invert compile+first run: {time.time() - t0:.2f}s")
 
-    # timed converged solves from a cold initial guess
+    # timed converged solves from a cold initial guess; each rep uses a
+    # slightly different b so no execution can be reused
     times = []
-    for rep in range(3):
-        st = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(
+    for rep in range(4):
+        amp = 0.1 * (1.0 + 0.01 * rep)
+        st = model.set_b(model.rest_state(), lambda x: amp * np.exp(
             -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05
         ))
         t0 = time.time()
@@ -96,7 +98,7 @@ def main():
         times.append(dt_solve)
         log(f"rep {rep}: solve {dt_solve:.3f}s iters={int(aux['inv_iters'])} "
             f"res={float(aux['inv_res']):.3e}")
-    t_solve = min(times)
+    t_solve = float(np.median(times[1:]))
 
     # timestep throughput (secondary, stderr only)
     t0 = time.time()

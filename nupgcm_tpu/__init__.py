@@ -8,6 +8,30 @@ an implicit-diffusion / explicit-advection buoyancy evolution (CG) --
 with the entire timestep fused into jitted device code.
 """
 
+def _enable_compilation_cache():
+    """Point JAX at a persistent compilation cache unless the user
+    already configured one -- TPU compiles of the fused step are
+    expensive and fully reusable across runs."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    path = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "nupgcm_tpu", "jax_cache",
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from .models.config import (
     ConvectionParameterization,
     EddyParameterization,

@@ -32,6 +32,18 @@ import numpy as np
 # static plans
 # ----------------------------------------------------------------------
 
+def _digest(*arrays) -> bytes:
+    """Stable content digest so plans hash identically across
+    processes -- they ride in jit pytree aux data, and id()-based
+    hashing would defeat the persistent compilation cache."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.digest()
+
+
 @dataclass(frozen=True)
 class MatrixPlan:
     """Maps flattened element-matrix entries to sorted-COO slots."""
@@ -43,6 +55,23 @@ class MatrixPlan:
     cols: np.ndarray  # (nnz,) int32
     gather_perm: np.ndarray  # (n_entries,) int32: sort order of entries
     slot_sorted: np.ndarray  # (n_entries,) int32: slot of each sorted entry
+
+    def __hash__(self):
+        if not hasattr(self, "_hash"):
+            object.__setattr__(self, "_hash", hash(
+                (self.n_rows, self.n_cols, self.nnz,
+                 _digest(self.rows, self.cols, self.gather_perm,
+                         self.slot_sorted))
+            ))
+        return self._hash
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, MatrixPlan)
+            and (self.n_rows, self.n_cols, self.nnz)
+            == (other.n_rows, other.n_cols, other.nnz)
+            and hash(self) == hash(other)
+        )
 
     def assemble(self, elem_vals: jnp.ndarray) -> jnp.ndarray:
         """Device: element tensors (nc, nl_r, nl_c) -> nnz values."""
@@ -88,6 +117,20 @@ class VectorPlan:
     ndof: int
     gather_perm: np.ndarray  # (n_entries,) int32
     dof_sorted: np.ndarray  # (n_entries,) int32 (sorted)
+
+    def __hash__(self):
+        if not hasattr(self, "_hash"):
+            object.__setattr__(self, "_hash", hash(
+                (self.ndof, _digest(self.gather_perm, self.dof_sorted))
+            ))
+        return self._hash
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, VectorPlan)
+            and self.ndof == other.ndof
+            and hash(self) == hash(other)
+        )
 
     def assemble(self, elem_vals: jnp.ndarray) -> jnp.ndarray:
         v = elem_vals.reshape(-1)[self.gather_perm]
@@ -158,6 +201,29 @@ def elem_rhs_diff(wq, coeff_q, G3, N2):
     """rhs_diff_e[c,i] = sum_q w (-N^2 k) dz(phi_i)
     (reference build_rhs_diff, src/evolution.jl:269-278)."""
     return -N2 * jnp.einsum("cq,cq,cqi->ci", wq, coeff_q, G3[..., 2])
+
+
+def elem_inversion_blocks(wq, nu_q, f_q, phi_u, Gu3, phi_p, a2e2,
+                          variable_nu: bool):
+    """Saddle element blocks (uu, up, pu) -- see elem_inversion for the
+    forms.  Blocks stay separate: the zero pp block is never built and
+    no big concatenated tensor is materialized."""
+    nc, nq = wq.shape
+    nlu = phi_u.shape[1]
+    nlp = phi_p.shape[1]
+    dt = wq.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+
+    lap = jnp.einsum("cq,cq,cqid,cqjd->cji", wq, nu_q, Gu3, Gu3)
+    visc = a2e2 * jnp.einsum("cji,ba->cjbia", lap, eye3)
+    if variable_nu:
+        visc = visc + a2e2 * jnp.einsum("cq,cq,cqib,cqja->cjbia", wq, nu_q, Gu3, Gu3)
+    mf = jnp.einsum("cq,cq,qj,qi->cji", wq, f_q, phi_u, phi_u)
+    C = jnp.zeros((3, 3), dtype=dt).at[1, 0].set(1.0).at[0, 1].set(-1.0)
+    uu = (visc + jnp.einsum("cji,ba->cjbia", mf, C)).reshape(nc, 3 * nlu, 3 * nlu)
+    up = -jnp.einsum("cq,cqjb,qk->cjbk", wq, Gu3, phi_p).reshape(nc, 3 * nlu, nlp)
+    pu = jnp.einsum("cq,qk,cqia->ckia", wq, phi_p, Gu3).reshape(nc, nlp, 3 * nlu)
+    return uu, up, pu
 
 
 def elem_inversion(wq, nu_q, f_q, phi_u, Gu3, phi_p, a2e2, variable_nu: bool):

@@ -116,7 +116,13 @@ class Mesh:
     def periodic_edge_pairs(self) -> np.ndarray:
         """(n, 2) [slave_edge, master_edge] ids induced by the vertex
         periodic_pairs: an edge whose endpoints are both slaves maps to
-        the edge of the corresponding masters."""
+        the edge of the corresponding masters.
+
+        Edges with no matching master (mismatched seam-face diagonals
+        on composite geometries) are dropped: their mid-edge dofs stay
+        independent, a local weak nonconformity at discretization
+        level.  Extruded meshes (channel3D) always match exactly.
+        """
         if self.periodic_pairs is None or len(self.periodic_pairs) == 0:
             return np.zeros((0, 2), dtype=np.int64)
         s2m = -np.ones(self.n_vertices, dtype=np.int64)
@@ -124,10 +130,15 @@ class Mesh:
         e = self.edges
         both = (s2m[e[:, 0]] >= 0) & (s2m[e[:, 1]] >= 0)
         slave_e = np.where(both)[0]
-        master_pairs = np.stack([s2m[e[slave_e, 0]], s2m[e[slave_e, 1]]], axis=1)
-        master_ids = find_edges(self._edge_keys, self._edge_order,
-                                master_pairs, self.n_vertices)
-        return np.stack([slave_e, master_ids], axis=1)
+        master_pairs = np.sort(
+            np.stack([s2m[e[slave_e, 0]], s2m[e[slave_e, 1]]], axis=1), axis=1
+        )
+        keys = master_pairs[:, 0] * np.int64(self.n_vertices) + master_pairs[:, 1]
+        pos = np.searchsorted(self._edge_keys, keys)
+        pos_c = np.clip(pos, 0, len(self._edge_keys) - 1)
+        found = self._edge_keys[pos_c] == keys
+        master_ids = self._edge_order[pos_c[found]]
+        return np.stack([slave_e[found], master_ids], axis=1)
 
     # -- geometry ------------------------------------------------------
     def cell_coords(self) -> np.ndarray:

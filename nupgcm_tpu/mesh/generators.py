@@ -129,6 +129,195 @@ def box_mesh(nx: int, ny: int, nz: int, lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0)) 
     return Mesh(tdim=3, coords=coords, cells=cells, tagged=tagged)
 
 
+def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None) -> Mesh:
+    """3D channel+basin composite: an x-periodic re-entrant channel
+    (south) feeding a closed basin (north) with parabolic sidewalls
+    and rounded corners -- the reference's production geometry
+    (reference meshes/channel_basin.jl:4-110; L=2, W=1, channel length
+    L/4, basin flat width W/2, depth H = alpha*W).
+
+    Terrain-following construction: a level-set phi(x, y) describes
+    the footprint (full-width channel south of y=-0.5 union a
+    rounded-rectangle basin), boundary grid vertices are snapped onto
+    phi=0 for a body-fitted coastline, and columns of nz sigma layers
+    collapse at the coast exactly like bowl3D.
+
+    Tags: "bottom", "surface", "coastline", "interior";
+    ``periodic_pairs`` identifies x=1 with x=0 (channel seam).
+    """
+    L, W = 2.0, 1.0
+    H = alpha * W
+    L_channel = L / 4.0                 # channel spans y in [-1, -0.5]
+    y_ch_top = -L / 2 + L_channel
+    L_flat = L_channel / 4.0
+    L_curve = (L_channel - L_flat) / 2.0
+    y_rise = -L / 2 + L_curve + L_flat  # channel bottom starts rising
+    Wc = W / 4.0                        # basin sidewall width (W_curve)
+    # basin spine rectangle: x in [Wc, W-Wc], y in [-0.75, L/2 - Wc]
+    sx0, sx1 = Wc, W - Wc
+    sy0, sy1 = -L / 2 + L_channel / 2.0, L / 2 - Wc
+
+    def spine_dist(x, y):
+        dx = np.maximum(np.maximum(sx0 - x, x - sx1), 0.0)
+        dy = np.maximum(np.maximum(sy0 - y, y - sy1), 0.0)
+        return np.hypot(dx, dy)
+
+    def phi2(x, y):
+        # channel region: inside for all x when y <= y_ch_top
+        ch = np.where(y <= y_ch_top, Wc, -np.inf)
+        basin = Wc - spine_dist(x, y)
+        return np.maximum(ch, basin)
+
+    def depth(x, y):
+        """Water depth: channel y-profile union basin footprint."""
+        # channel: vertical wall at y=-1, flat -H, parabolic rise to 0
+        t = np.clip((y_ch_top - y) / (y_ch_top - y_rise), 0.0, 1.0)
+        d_ch = np.where(y <= y_ch_top, H * t * (2.0 - t), 0.0)
+        # basin: parabolic sidewalls in distance-to-spine
+        s = np.clip(1.0 - spine_dist(x, y) / Wc, 0.0, 1.0)
+        d_basin = H * s * (2.0 - s)
+        return np.maximum(d_ch, d_basin)
+
+    # --- footprint grid with coastline snapping ----------------------
+    nx = max(4, int(round(W / h)))
+    ny = max(8, int(round(L / h)))
+    xs = np.linspace(0.0, W, nx + 1)
+    ys = np.linspace(-L / 2, L / 2, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    PHI = phi2(X, Y)
+    inside = PHI > 1e-12
+
+    # snap outside vertices adjacent to inside ones onto phi = 0
+    Xs, Ys = X.copy(), Y.copy()
+    snapped = np.zeros_like(inside)
+    for axis in (0, 1):
+        for sgn in (1, -1):
+            nb = np.roll(inside, sgn, axis=axis)
+            if axis == 0:
+                nb[0 if sgn == 1 else -1, :] = False
+            else:
+                nb[:, 0 if sgn == 1 else -1] = False
+            cand = (~inside) & nb & (~snapped)
+            ii, jj = np.where(cand)
+            for i, j in zip(ii, jj):
+                i2, j2 = (i - sgn, j) if axis == 0 else (i, j - sgn)
+                # bisect phi=0 along the edge
+                a = np.array([X[i2, j2], Y[i2, j2]])
+                b = np.array([X[i, j], Y[i, j]])
+                for _ in range(40):
+                    m = 0.5 * (a + b)
+                    if phi2(m[0], m[1]) > 0:
+                        a = m
+                    else:
+                        b = m
+                Xs[i, j], Ys[i, j] = 0.5 * (a + b)
+                snapped[i, j] = True
+    use = inside | snapped
+
+    # base vertices + triangulation of used quads
+    vid = -np.ones((nx + 1, ny + 1), dtype=np.int64)
+    base_xy = []
+    for i in range(nx + 1):
+        for j in range(ny + 1):
+            if use[i, j]:
+                vid[i, j] = len(base_xy)
+                base_xy.append((Xs[i, j], Ys[i, j]))
+    base_xy = np.array(base_xy)
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            q = [vid[i, j], vid[i + 1, j], vid[i + 1, j + 1], vid[i, j + 1]]
+            qi = [inside[i, j], inside[i + 1, j], inside[i + 1, j + 1], inside[i, j + 1]]
+            if all(v >= 0 for v in q) and any(qi):
+                tris.append((q[0], q[1], q[2]))
+                tris.append((q[0], q[2], q[3]))
+            elif sum(v >= 0 for v in q) == 3 and any(qi):
+                tri = [v for v in q if v >= 0]
+                tris.append(tuple(tri))
+    tris = np.array(tris, dtype=np.int64)
+    # drop zero-area triangles from snapping
+    v = base_xy[tris]
+    area2 = np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0])
+    )
+    tris = tris[area2 > 1e-8 * h * h]
+
+    # --- sigma columns -> prisms -> tets -----------------------------
+    nb = len(base_xy)
+    if nz is None:
+        nz = max(2, int(round(H / h)) * 2)
+    Hb = np.array([depth(x, y) for x, y in base_xy])
+    collapsed = Hb <= 1e-10
+    node_id = np.full((nb, nz + 1), -1, dtype=np.int64)
+    coords = []
+    for i in range(nb):
+        if collapsed[i]:
+            coords.append((base_xy[i, 0], base_xy[i, 1], 0.0))
+            node_id[i, :] = len(coords) - 1
+        else:
+            for j, z in enumerate(np.linspace(-Hb[i], 0.0, nz + 1)):
+                coords.append((base_xy[i, 0], base_xy[i, 1], z))
+                node_id[i, j] = len(coords) - 1
+    coords = np.array(coords)
+
+    tets = []
+    for (a, b, c) in tris:
+        for j in range(nz):
+            prism = [
+                node_id[a, j], node_id[b, j], node_id[c, j],
+                node_id[a, j + 1], node_id[b, j + 1], node_id[c, j + 1],
+            ]
+            if len(set(prism)) < 4:
+                continue
+            tets.extend(_split_prism(prism))
+    tets = np.array(tets, dtype=np.int64)
+    X3 = coords[tets]
+    vol6 = np.einsum(
+        "ij,ij->i",
+        np.cross(X3[:, 1] - X3[:, 0], X3[:, 2] - X3[:, 0]),
+        X3[:, 3] - X3[:, 0],
+    )
+    tets = tets[np.abs(vol6) > 1e-14]
+
+    # --- tags ---------------------------------------------------------
+    bf = boundary_facets(tets)
+    z = coords[:, 2]
+    x = coords[:, 0]
+    y = coords[:, 1]
+    on_sfc = np.all(np.abs(z[bf]) < 1e-12, axis=1)
+    in_channel = np.all(y[bf] <= y_ch_top + 1e-9, axis=1)
+    on_end = in_channel & (
+        np.all(np.abs(x[bf]) < 1e-12, axis=1)
+        | np.all(np.abs(x[bf] - W) < 1e-12, axis=1)
+    )
+    surface = bf[on_sfc & ~on_end]
+    bottom = bf[~on_sfc & ~on_end]
+    # coastline: surface nodes whose column is collapsed
+    coast_nodes = np.unique(node_id[collapsed, 0]) if collapsed.any() else np.zeros(0, np.int64)
+    coast = coast_nodes.reshape(-1, 1)
+
+    # periodic pairs across the channel seam (x = W -> x = 0)
+    pairs = []
+    for j in range(ny + 1):
+        if vid[0, j] >= 0 and vid[nx, j] >= 0 and ys[j] <= y_ch_top + 1e-9:
+            c0, c1 = vid[0, j], vid[nx, j]
+            if collapsed[c0] != collapsed[c1]:
+                continue
+            for lev in range(nz + 1):
+                pairs.append((node_id[c1, lev], node_id[c0, lev]))
+    pairs = np.unique(np.array(sorted(set(pairs)), dtype=np.int64), axis=0) if pairs else None
+
+    tagged = {
+        "surface": {2: surface},
+        "bottom": {2: bottom},
+        "coastline": {0: coast},
+        "interior": {3: tets},
+    }
+    return Mesh(tdim=3, coords=coords, cells=tets, tagged=tagged,
+                periodic_pairs=pairs)
+
+
 def sphere_mesh(n: int = 8, radius: float = 1.0) -> Mesh:
     """Solid ball tet mesh via the cube-to-ball radial map
     (reference meshes/mesh_sphere.jl: gmsh occ sphere with

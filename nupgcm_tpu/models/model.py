@@ -103,7 +103,7 @@ class PGModel:
         inner_iters_p: int = 5,
         inner_method: str = "chebyshev",
         cond_ratio: float = 20.0,
-        assembly_chunk: int = 16384,
+        assembly_chunk: int = 8192,
     ):
         self.fe = fe
         self.params = params
@@ -120,69 +120,85 @@ class PGModel:
         self.cond_ratio = cond_ratio
         self.assembly_chunk = assembly_chunk
 
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("NUPGCM_DEBUG_TIMING")
+        _t0 = _time.time()
         self._build_constants()
+        if _dbg:
+            print(f"[build] constants {_time.time() - _t0:.1f}s", flush=True)
+        _t0 = _time.time()
         self._build_operators()
+        if _dbg:
+            print(f"[build] operators {_time.time() - _t0:.1f}s", flush=True)
+        _t0 = _time.time()
         self._build_functions()
+        if _dbg:
+            print(f"[build] functions {_time.time() - _t0:.1f}s", flush=True)
 
     # ------------------------------------------------------------------
     # static device constants
     # ------------------------------------------------------------------
     def _build_constants(self):
+        """Static tables the jitted kernels close over.
+
+        IMPORTANT: these stay **NumPy** arrays.  A jit that closes over
+        a *device* array must copy it back to host during MLIR
+        lowering (`ir_constant` -> device-to-host) -- over a tunneled
+        TPU that round-trip is catastrophically slow.  Host constants
+        are inlined into the executable and uploaded once.
+        """
         fe, dt = self.fe, self.dtype
         sp = fe.spaces
         c = {}
-        c["wq"] = jnp.asarray(fe.geom.wq, dt)
-        c["invJT"] = jnp.asarray(fe.geom.invJT, dt)
-        c["embed"] = jnp.asarray(fe.embed, dt)
-        c["phi_u"] = jnp.asarray(fe.tab_u.phi, dt)
-        c["dphi_u"] = jnp.asarray(fe.tab_u.dphi, dt)
-        c["phi_p"] = jnp.asarray(fe.tab_p.phi, dt)
-        c["phi_b"] = jnp.asarray(fe.tab_b.phi, dt)
-        c["dphi_b"] = jnp.asarray(fe.tab_b.dphi, dt)
-        c["cd_u"] = jnp.asarray(fe.cd_u, jnp.int32)
-        c["cd_b"] = jnp.asarray(fe.cd_b, jnp.int32)
-        c["h_cells"] = jnp.asarray(fe.h_cells, dt)
+        c["wq"] = np.asarray(fe.geom.wq, dt)
+        c["invJT"] = np.asarray(fe.geom.invJT, dt)
+        c["embed"] = np.asarray(fe.embed, dt)
+        c["phi_u"] = np.asarray(fe.tab_u.phi, dt)
+        c["dphi_u"] = np.asarray(fe.tab_u.dphi, dt)
+        c["phi_p"] = np.asarray(fe.tab_p.phi, dt)
+        c["phi_b"] = np.asarray(fe.tab_b.phi, dt)
+        c["dphi_b"] = np.asarray(fe.tab_b.dphi, dt)
+        c["cd_u"] = np.asarray(fe.cd_u, np.int32)
+        c["cd_b"] = np.asarray(fe.cd_b, np.int32)
+        c["h_cells"] = np.asarray(fe.h_cells, dt)
 
         # coefficients at volume quadrature points (host eval, static)
         xq = fe.geom.xq
         fr, pr = self.forcings, self.params
-        c["f_q"] = jnp.asarray(_quad_eval(pr.f, xq, dt))
-        c["nu_q"] = jnp.asarray(_quad_eval(fr.nu, xq, dt))
-        c["kh_q"] = jnp.asarray(_quad_eval(fr.kappa_h, xq, dt))
-        c["kv_q"] = jnp.asarray(_quad_eval(fr.kappa_v, xq, dt))
+        c["f_q"] = _quad_eval(pr.f, xq, dt)
+        c["nu_q"] = _quad_eval(fr.nu, xq, dt)
+        c["kh_q"] = _quad_eval(fr.kappa_h, xq, dt)
+        c["kv_q"] = _quad_eval(fr.kappa_v, xq, dt)
         self.variable_nu = callable(fr.nu) or fr.eddy_param.is_on
 
         # eddy parameterization f at quad points
         if fr.eddy_param.is_on:
-            c["f_eddy_q"] = jnp.asarray(_quad_eval(fr.eddy_param.f, xq, dt))
+            c["f_eddy_q"] = _quad_eval(fr.eddy_param.f, xq, dt)
 
         # surface group
         surf = fe.surface
-        c["wq_surf"] = jnp.asarray(surf.geom.wq, dt)
-        c["phi_u_surf"] = jnp.asarray(surf.phi_u, dt)
-        c["phi_b_surf"] = jnp.asarray(surf.phi_b, dt)
-        c["taux_q"] = jnp.asarray(_quad_eval(fr.tau_x, surf.geom.xq, dt))
-        c["tauy_q"] = jnp.asarray(_quad_eval(fr.tau_y, surf.geom.xq, dt))
+        c["wq_surf"] = np.asarray(surf.geom.wq, dt)
+        c["phi_u_surf"] = np.asarray(surf.phi_u, dt)
+        c["phi_b_surf"] = np.asarray(surf.phi_b, dt)
+        c["taux_q"] = _quad_eval(fr.tau_x, surf.geom.xq, dt)
+        c["tauy_q"] = _quad_eval(fr.tau_y, surf.geom.xq, dt)
 
-        # Dirichlet masks / values
         # Dirichlet masks; periodic slave dofs are inactive -> pinned 0
         u_bc, b_bc = sp.u_bc, sp.b_bc
         act_u = sp.u_space.active[:, None]
-        free_u = jnp.asarray(
-            ((~u_bc.mask) & act_u).reshape(-1).astype(np.float64), dt
-        )
+        free_u = ((~u_bc.mask) & act_u).reshape(-1).astype(dt)
         c["free_u"] = free_u
-        c["udiri"] = jnp.asarray(
-            (u_bc.values * sp.u_space.active[:, None]).reshape(-1), dt
-        )
-        c["free_b"] = jnp.asarray(
-            ((~b_bc.mask) & sp.b_space.active).astype(np.float64), dt
-        )
-        c["bdiri"] = jnp.asarray(b_bc.values * sp.b_space.active, dt)
+        c["udiri"] = (u_bc.values * sp.u_space.active[:, None]).reshape(-1).astype(dt)
+        c["free_b"] = ((~b_bc.mask) & sp.b_space.active).astype(dt)
+        c["bdiri"] = (b_bc.values * sp.b_space.active).astype(dt)
         # combined inversion mask: velocity masks + active pressure
-        free_p = jnp.asarray(sp.p_space.active.astype(np.float64), dt)
-        c["free_inv"] = jnp.concatenate([free_u, free_p])
-        c["xdiri_inv"] = jnp.concatenate([c["udiri"], jnp.zeros(sp.n_p, dt)])
+        free_p = sp.p_space.active.astype(dt)
+        c["free_inv"] = np.concatenate([free_u, free_p])
+        c["xdiri_inv"] = np.concatenate(
+            [c["udiri"], np.zeros(sp.n_p, dt)]
+        )
         self.const = c
 
     # ------------------------------------------------------------------
@@ -218,11 +234,43 @@ class PGModel:
                 if q <= target:
                     chunk = max(chunk, q)
         nblk = nc // chunk
-        blocked = [a.reshape((nblk, chunk) + a.shape[1:]) for a in cell_arrays]
-        out = jax.lax.map(lambda args: fn(*args), tuple(blocked))
-        return jax.tree_util.tree_map(
-            lambda o: o.reshape((nc,) + o.shape[2:]), out
+        tracing = any(isinstance(a, jax.core.Tracer) for a in cell_arrays)
+        if tracing:
+            # inside jit (eddy rebuild): unrolled loop.  NOT lax.map --
+            # mapping the big einsum bodies triggers a pathologically
+            # slow XLA compile (measured 129s vs 1.5s at 58k cells).
+            outs = [
+                fn(*[a[k * chunk:(k + 1) * chunk] for a in cell_arrays])
+                for k in range(nblk)
+            ]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs
+            )
+        # at setup: one jitted chunk program invoked eagerly per block
+        # with a device sync between blocks -- inside a single jit XLA
+        # schedules independent chunks concurrently and the multi-GB
+        # einsum transients all coexist (OOM/thrash at 240k dofs)
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("NUPGCM_DEBUG_TIMING")
+        jfn = jax.jit(fn)
+        outs = []
+        for k in range(nblk):
+            _t0 = _time.time()
+            o = jfn(*[a[k * chunk:(k + 1) * chunk] for a in cell_arrays])
+            jax.block_until_ready(o)
+            if _dbg:
+                print(f"[chunk] {k}/{nblk} {_time.time() - _t0:.1f}s", flush=True)
+            outs.append(o)
+        _t0 = _time.time()
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs
         )
+        jax.block_until_ready(out)
+        if _dbg:
+            print(f"[chunk] concat {_time.time() - _t0:.1f}s", flush=True)
+        return out
 
     def _assemble_inversion_elems(self, nu_q):
         """Element tensors of the saddle operator -- kept element-local
@@ -233,7 +281,7 @@ class PGModel:
 
         def build(wq, nu_q, f_q, invJT):
             Gu3 = asm.physical_grads(invJT, c["dphi_u"], c["embed"])
-            return asm.elem_inversion(
+            return asm.elem_inversion_blocks(
                 wq, nu_q, f_q, c["phi_u"], Gu3, c["phi_p"], a2e2,
                 self.variable_nu,
             )
@@ -265,9 +313,23 @@ class PGModel:
 
         # separate small jits: faster compiles than one mega-graph and
         # the heavy element builders are internally chunked (lax.map)
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("NUPGCM_DEBUG_TIMING")
         ops = {}
-        ops["A_inv_e"] = jax.jit(self._assemble_inversion_elems)(c["nu_q"])
-        ops["visc_e"] = jax.jit(self._assemble_visc_elems)(c["nu_q"])
+        _t0 = _time.time()
+        ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"] = (
+            self._assemble_inversion_elems(c["nu_q"])
+        )
+        jax.block_until_ready(ops["A_uu_e"])
+        if _dbg:
+            print(f"[build]   A_inv_e {_time.time() - _t0:.1f}s", flush=True)
+        _t0 = _time.time()
+        ops["visc_e"] = self._assemble_visc_elems(c["nu_q"])
+        jax.block_until_ready(ops["visc_e"])
+        if _dbg:
+            print(f"[build]   visc_e {_time.time() - _t0:.1f}s", flush=True)
 
         @jax.jit
         def setup_small():
@@ -303,7 +365,12 @@ class PGModel:
             )
             return o
 
-        ops.update(setup_small())
+        _t0 = _time.time()
+        small = setup_small()
+        jax.block_until_ready(small)
+        ops.update(small)
+        if _dbg:
+            print(f"[build]   setup_small {_time.time() - _t0:.1f}s", flush=True)
 
         @jax.jit
         def spectral_bounds(visc_e, Mp_e):
@@ -323,7 +390,11 @@ class PGModel:
                 power_lmax(mp_op, 1.0 / mp_op.diagonal(), sp.n_p),
             )
 
+        _t0 = _time.time()
         ops["lmax_u"], ops["lmax_p"] = spectral_bounds(ops["visc_e"], ops["Mp_e"])
+        jax.block_until_ready(ops["lmax_u"])
+        if _dbg:
+            print(f"[build]   spectral_bounds {_time.time() - _t0:.1f}s", flush=True)
 
         # surface buoyancy-flux rhs (static; zero under Dirichlet BC)
         if isinstance(fr.b_surface_bc, SurfaceFluxBC):
@@ -343,9 +414,9 @@ class PGModel:
     def _inv_matrix(self, ops) -> SaddleOperator:
         fe = self.fe
         return SaddleOperator(
-            Ae=ops["A_inv_e"],
+            uu=ops["A_uu_e"], up=ops["A_up_e"], pu=ops["A_pu_e"],
             cd_u=self.const["cd_u"],
-            cd_p=jnp.asarray(fe.cd_p, jnp.int32),
+            cd_p=np.asarray(fe.cd_p, np.int32),
             u_plan=fe.vec_plan_u_nodes,
             p_plan=fe.vec_plan_p,
             n_u_nodes=fe.spaces.u_space.ndof,
@@ -353,11 +424,10 @@ class PGModel:
 
     def _visc_operator(self, visc_e) -> SaddleOperator:
         fe = self.fe
-        nc = visc_e.shape[0]
         return SaddleOperator(
-            Ae=visc_e,
+            uu=visc_e, up=None, pu=None,
             cd_u=self.const["cd_u"],
-            cd_p=jnp.zeros((nc, 0), jnp.int32),
+            cd_p=np.zeros((visc_e.shape[0], 0), np.int32),
             u_plan=fe.vec_plan_u_nodes,
             p_plan=fe.vec_plan_p,
             n_u_nodes=fe.spaces.u_space.ndof,
@@ -525,7 +595,8 @@ class PGModel:
             pr.N2 + jnp.einsum("cqi,ci->cq", Gb3[..., 2], state.b[c["cd_b"]])
         )
         nu_q = fr.eddy_param.nu(c["f_eddy_q"], abz)
-        return dict(ops, A_inv_e=self._assemble_inversion_elems(nu_q))
+        uu, up, pu = self._assemble_inversion_elems(nu_q)
+        return dict(ops, A_uu_e=uu, A_up_e=up, A_pu_e=pu)
 
     # ------------------------------------------------------------------
     def _build_functions(self):

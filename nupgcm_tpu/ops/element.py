@@ -51,6 +51,7 @@ class ElementOperator:
         return cls(Ae=Ae, cd_rows=cd_rows, cd_cols=cd_cols, row_plan=aux)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(x)
         xe = x[self.cd_cols]  # (nc, nl_c)
         ye = jnp.einsum("cij,cj->ci", self.Ae, xe)
         return self.row_plan.assemble(ye)
@@ -83,15 +84,25 @@ class SaddleOperator:
     velocity part as (n_nodes, 3) rows via scalar node ids uses 3x
     fewer indices than the flat path -- measurably faster SpMV.
 
-    Ae: (nc, NL, NL') with NL = 3*nlu (+ nlp) combined local dofs,
-        velocity-major (local index 3*i + comp then pressure).
     cd_u: (nc, nlu) scalar velocity node ids
     cd_p: (nc, nlp) pressure dof ids (nlp may be 0)
     u_plan / p_plan: VectorPlans over cd_u (node ids) and cd_p
     n_u_nodes: velocity node count (static)
+
+    The operator is stored as separate (uu, up, pu) blocks -- the
+    zero pp block is never materialized, and avoiding the big
+    concatenated (nc, NL, NL) tensor keeps the assembly graph simple
+    (the fused concat form triggered pathological minutes-long XLA
+    compiles at 58k cells) and saves ~20% memory.
+
+    uu: (nc, 3*nlu, 3*nlu);  up: (nc, 3*nlu, nlp);  pu: (nc, nlp, 3*nlu)
+    (up/pu may be None for velocity-only operators, e.g. the
+    preconditioner's viscous block).
     """
 
-    Ae: jnp.ndarray
+    uu: jnp.ndarray
+    up: jnp.ndarray
+    pu: jnp.ndarray
     cd_u: jnp.ndarray
     cd_p: jnp.ndarray
     u_plan: object
@@ -99,52 +110,53 @@ class SaddleOperator:
     n_u_nodes: int
 
     def tree_flatten(self):
-        return (self.Ae, self.cd_u, self.cd_p), (
+        return (self.uu, self.up, self.pu, self.cd_u, self.cd_p), (
             self.u_plan, self.p_plan, self.n_u_nodes,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        Ae, cd_u, cd_p = children
-        return cls(Ae=Ae, cd_u=cd_u, cd_p=cd_p, u_plan=aux[0], p_plan=aux[1],
-                   n_u_nodes=aux[2])
+        uu, up, pu, cd_u, cd_p = children
+        return cls(uu=uu, up=up, pu=pu, cd_u=cd_u, cd_p=cd_p,
+                   u_plan=aux[0], p_plan=aux[1], n_u_nodes=aux[2])
 
     @property
     def _nlu3(self):
         return 3 * self.cd_u.shape[1]
 
-    def gather(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(n,) combined vector -> (nc, NL) element dofs."""
+    def _gather_u(self, x):
+        x = jnp.asarray(x)
         nu3 = 3 * self.n_u_nodes
         xu3 = x[:nu3].reshape(-1, 3)
-        nc = self.cd_u.shape[0]
-        xe_u = xu3[self.cd_u].reshape(nc, self._nlu3)
-        if self.cd_p.shape[1] == 0:
-            return xe_u
-        xe_p = x[nu3:][self.cd_p]
-        return jnp.concatenate([xe_u, xe_p], axis=1)
+        return xu3[self.cd_u].reshape(self.cd_u.shape[0], self._nlu3)
 
-    def scatter(self, ye: jnp.ndarray) -> jnp.ndarray:
-        """(nc, NL) element contributions -> (n,) combined vector."""
-        nu3 = 3 * self.n_u_nodes
-        nlu3 = self._nlu3
-        yu3 = ye[:, :nlu3].reshape(-1, 3)
-        yu = self.u_plan.assemble_rows(yu3).reshape(-1)
-        if self.cd_p.shape[1] == 0:
-            return yu
-        yp = self.p_plan.assemble(ye[:, nlu3:])
-        return jnp.concatenate([yu, yp])
+    def _gather_p(self, x):
+        x = jnp.asarray(x)
+        return x[3 * self.n_u_nodes:][self.cd_p]
+
+    def _scatter_u(self, yu_e):
+        return self.u_plan.assemble_rows(yu_e.reshape(-1, 3)).reshape(-1)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        xe = self.gather(x)
-        ye = jnp.einsum("cij,cj->ci", self.Ae, xe)
-        return self.scatter(ye)
+        xe_u = self._gather_u(x)
+        yu_e = jnp.einsum("cij,cj->ci", self.uu, xe_u)
+        if self.up is None:
+            return self._scatter_u(yu_e)
+        xe_p = self._gather_p(x)
+        yu_e = yu_e + jnp.einsum("cij,cj->ci", self.up, xe_p)
+        yp_e = jnp.einsum("cij,cj->ci", self.pu, xe_u)
+        return jnp.concatenate([self._scatter_u(yu_e), self.p_plan.assemble(yp_e)])
 
     def diagonal(self) -> jnp.ndarray:
-        de = jnp.einsum("cii->ci", self.Ae)
-        return self.scatter(de)
+        du = self._scatter_u(jnp.einsum("cii->ci", self.uu))
+        if self.up is None:
+            return du
+        # pp block is identically zero
+        return jnp.concatenate([du, jnp.zeros(self.p_plan.ndof, du.dtype)])
 
-    def with_elems(self, Ae: jnp.ndarray) -> "SaddleOperator":
-        return SaddleOperator(Ae=Ae, cd_u=self.cd_u, cd_p=self.cd_p,
+    def with_elems(self, uu, up=None, pu=None) -> "SaddleOperator":
+        return SaddleOperator(uu=uu, up=up if up is not None else self.up,
+                              pu=pu if pu is not None else self.pu,
+                              cd_u=self.cd_u, cd_p=self.cd_p,
                               u_plan=self.u_plan, p_plan=self.p_plan,
                               n_u_nodes=self.n_u_nodes)

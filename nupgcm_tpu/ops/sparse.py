@@ -138,7 +138,8 @@ class MaskedOperator:
         self.free = free_mask  # float (0/1) or bool
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        f = self.free
+        x = jnp.asarray(x)
+        f = jnp.asarray(self.free)
         y = self.mat.matvec(x * f)
         return jnp.where(f.astype(bool), y, x)
 

@@ -64,7 +64,7 @@ def shard_model(model, mesh: Mesh):
             model.const[k] = put(model.const[k], repl)
 
     # element operator tensors: shard along the cell axis
-    for k in ("A_inv_e", "B_e", "M_e", "Kh_e", "Kv_e", "visc_e", "Mp_e"):
+    for k in ("A_uu_e", "A_up_e", "A_pu_e", "B_e", "M_e", "Kh_e", "Kv_e", "visc_e", "Mp_e"):
         model.ops[k] = put(model.ops[k], sh0)
     for k in ("s", "rhs_diff", "rhs_flux", "p_volw"):
         model.ops[k] = put(model.ops[k], repl)

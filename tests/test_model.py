@@ -283,9 +283,9 @@ def test_eddy_parameterization_rebuild():
     fe = npg.FEData(mesh, spaces)
     ts = npg.BDF2(t_start=0, t_stop=12 * 0.05, dt=0.05)
     model = npg.PGModel(fe, params, forc, ts)
-    A0 = np.asarray(model.ops["A_inv_e"]).copy()
+    A0 = np.asarray(model.ops["A_uu_e"]).copy()
     st = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(2 * x[2]))
     st = model.run(st, n_info=0)
-    A1 = np.asarray(model.ops["A_inv_e"])
+    A1 = np.asarray(model.ops["A_uu_e"])
     assert np.isfinite(np.asarray(st.u)).all()
     assert np.abs(A1 - A0).max() > 1e-10  # matrix actually rebuilt
