@@ -101,3 +101,53 @@ def test_channel_wind_driven_jet():
     pts_mid[:, 0] = 0.5
     um = ev.eval(spaces.u_space, u, pts_mid)
     assert np.abs(u0 - um).max() < 0.05 * np.abs(u0).max()
+
+
+def test_channel_basin_mesh():
+    """Composite channel+basin geometry: conforming, positive cells,
+    x-periodic channel seam, coastline only in the basin region."""
+    from nupgcm_tpu.mesh.generators import channel_basin
+
+    m = channel_basin(0.1, alpha=0.2)
+    _, d = m.cell_jacobians()
+    assert d.min() > 0
+    faces = {}
+    for c in m.cells:
+        for f in combinations(sorted(c.tolist()), 3):
+            faces[f] = faces.get(f, 0) + 1
+    assert max(faces.values()) <= 2
+    assert m.periodic_pairs is not None and len(m.periodic_pairs) > 0
+    s, mas = m.periodic_pairs[:, 0], m.periodic_pairs[:, 1]
+    assert np.allclose(m.coords[s, 0], 1.0)
+    assert np.allclose(m.coords[mas, 0], 0.0)
+    # periodic pairs only exist in the channel region (y <= -0.5)
+    assert m.coords[s, 1].max() <= -0.5 + 1e-9
+    # coastline nodes at the surface with zero depth
+    cv, _ = m.tag_closure(["coastline"])
+    assert np.allclose(m.coords[cv, 2], 0.0)
+    # basin interior reaches the full depth H = 0.2
+    assert abs(m.coords[:, 2].min() + 0.2) < 1e-9
+
+
+def test_channel_basin_runs():
+    """Wind-driven channel_basin spins up stably with the periodic
+    seam active."""
+    from nupgcm_tpu.mesh.generators import channel_basin
+
+    m = channel_basin(0.12, alpha=0.2)
+    params = npg.Parameters(eps=0.3, alpha=0.2, mu_rho=1.0, N2=1.0,
+                            f=lambda x: 1.0 + 0.5 * x[1], H=lambda x: 0.2)
+    forc = npg.Forcings(nu=1.0, kappa_h=1e-2, kappa_v=1e-2,
+                        tau_x=lambda x: -0.05 * np.cos(np.pi * x[1]), tau_y=0.0,
+                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    spaces = npg.Spaces(m, u_diri_tags=["bottom", "coastline"],
+                        u_diri_vals=[(0, 0, 0)] * 2,
+                        u_diri_masks=[(True, True, True)] * 2,
+                        b_diri_tags=[], b_diri_vals=[])
+    fe = npg.FEData(m, spaces)
+    ts = npg.BDF1(t_start=0, t_stop=0.3, dt=0.1)
+    model = npg.PGModel(fe, params, forc, ts)
+    st = model.set_b(model.rest_state(), lambda x: 0.5 * x[2])
+    st = model.run(st, n_info=0, max_steps=3)
+    assert np.isfinite(np.asarray(st.u)).all()
+    assert np.abs(np.asarray(st.u)).max() > 1e-4
