@@ -469,6 +469,9 @@ class PGModel:
         )
         visc_op = MaskedOperator(visc, c["free_u"])
         mp_op = MaskedOperator(mp, c["free_inv"][self.fe.spaces.n_u:])
+        # full (nonsymmetric) velocity block for the inner_gmres method
+        ublock = self._visc_operator(ops["A_uu_e"])
+        ublock_op = MaskedOperator(ublock, c["free_u"])
         iu, ip = self.inner_iters
         M = BlockStokesPrecond(
             visc_op=visc_op,
@@ -482,6 +485,7 @@ class PGModel:
             lmax_u=ops["lmax_u"],
             lmax_p=ops["lmax_p"],
             cond_ratio=self.cond_ratio,
+            ublock_op=ublock_op,
         )
         return M, True
 
@@ -705,15 +709,28 @@ class PGModel:
         n_save: Optional[int] = None,
         save_callback: Optional[Callable] = None,
         max_steps: Optional[int] = None,
+        steps_per_block: int = 1,
         log: Callable = print,
     ) -> State:
-        """Advance until t >= t_stop (reference run!, src/model.jl:90-211)."""
+        """Advance until t >= t_stop (reference run!, src/model.jl:90-211).
+
+        ``steps_per_block > 1`` dispatches blocks of steps as one
+        lax.scan (production mode: one host round-trip per block);
+        logging/saving cadence then applies at block granularity.
+        """
         t_stop = float(self.ts.t_stop)
         t0 = time.time()
         i = int(state.step)
         while float(state.t) < t_stop:
-            self.ops, state, aux = self.step_jit(self.ops, state)
-            i += 1
+            if steps_per_block > 1:
+                self.ops, state, auxs = self.multi_step_jit(
+                    self.ops, state, steps_per_block
+                )
+                aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+                i += steps_per_block
+            else:
+                self.ops, state, aux = self.step_jit(self.ops, state)
+                i += 1
             u_max = float(aux["u_max"])
             b_max = float(aux["b_max"])
             if max(u_max, b_max) > 1e3 or np.isnan(u_max) or np.isnan(b_max):

@@ -99,7 +99,7 @@ class BlockStokesPrecond:
     we still run it under FGMRES so both methods are interchangeable.
     """
 
-    visc_op: callable  # u-block operator (masked)
+    visc_op: callable  # SPD u-block smoothing operator (masked)
     visc_diag_inv: jnp.ndarray
     mp_op: callable  # pressure mass operator scaled by 1/a2e2
     mp_diag_inv: jnp.ndarray
@@ -110,10 +110,25 @@ class BlockStokesPrecond:
     lmax_u: jnp.ndarray = None  # spectral bound of D^-1 A_visc
     lmax_p: jnp.ndarray = None
     cond_ratio: float = 30.0  # lmin = lmax / cond_ratio
+    ublock_op: callable = None  # FULL u-block (viscous + Coriolis)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         ru, rp = r[: self.nu_dofs], r[self.nu_dofs:]
-        if self.method == "chebyshev":
+        if self.method == "inner_gmres":
+            # small-Ekman regime: the skew Coriolis term dominates the
+            # velocity block, so smooth the FULL (nonsymmetric) block
+            # with inner GMRES instead of an SPD Chebyshev surrogate
+            from .gmres import gmres as _gmres
+
+            zu, _ = _gmres(
+                self.ublock_op, ru, jnp.zeros_like(ru),
+                M=lambda v: self.visc_diag_inv * v,
+                m=self.inner_iters_u, atol=0.0, rtol=1e-8,
+                itmax=self.inner_iters_u,
+            )
+            zp = chebyshev(self.mp_op, self.mp_diag_inv, rp,
+                           self.inner_iters_p, self.lmax_p / 4.0, self.lmax_p)
+        elif self.method == "chebyshev":
             zu = chebyshev(self.visc_op, self.visc_diag_inv, ru,
                            self.inner_iters_u, self.lmax_u / self.cond_ratio,
                            self.lmax_u)
