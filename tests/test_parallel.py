@@ -84,3 +84,52 @@ def test_sharded_cg_matches_cg():
     )
     assert np.allclose(np.asarray(x_ref), np.asarray(x_dist), atol=1e-9)
     assert int(iters) > 0
+
+
+def test_halo_cg_matches_cg():
+    """ppermute halo-exchange CG == single-device CG on the evolution
+    operator (contiguous RCM dof blocks, single-neighbor halos)."""
+    import jax.numpy as jnp
+
+    from nupgcm_tpu.ops.sparse import MaskedOperator, coo_from_plan
+    from nupgcm_tpu.parallel.halo import build_halo_partition, halo_cg
+    from nupgcm_tpu.solvers.cg import cg
+
+    # finer mesh so the RCM bandwidth is well below the shard size
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    params = npg.Parameters(
+        eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+        f=lambda x: 1.0 + 0.5 * x[1],
+        H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2),
+    )
+    forc = npg.Forcings(nu=1.0, kappa_h=1e-2, kappa_v=1e-2, tau_x=0.0, tau_y=0.0,
+                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    mesh2 = npg.generators.bowl2D(0.05, alpha)
+    spaces = npg.Spaces(mesh2, u_diri_tags=["bottom", "coastline", "surface"],
+                        u_diri_vals=[(0, 0, 0)] * 3,
+                        u_diri_masks=[(True, True, True)] * 2 + [(False, False, True)],
+                        b_diri_tags=["surface"], b_diri_vals=[0.0])
+    fe = npg.FEData(mesh2, spaces)
+    ts = npg.BDF2(t_start=0, t_stop=1, dt=0.1)
+    model = npg.PGModel(fe, params, forc, ts)
+    ops = model.ops
+    theta = float(ts.dt) * params.a2e2 / params.mu_rho
+    elem = ops["M_e"] + theta * (ops["Kh_e"] + ops["Kv_e"])
+    plan = fe.plan_b
+    vals = plan.assemble(jnp.asarray(elem))
+    n = fe.spaces.n_b
+    free = model.const["free_b"]
+
+    A = MaskedOperator(coo_from_plan(plan, vals), free)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(n))
+    dinv = 1.0 / A.diagonal()
+    x_ref, _ = cg(A, b, jnp.zeros(n), M_diag_inv=dinv, atol=1e-12, rtol=1e-12)
+
+    mesh = make_device_mesh(8)
+    part = build_halo_partition(plan.rows, plan.cols, np.asarray(vals), n, 8)
+    assert part.halo < part.chunk  # RCM band structure fits
+    x, iters = halo_cg(part, free, b, jnp.zeros(n), dinv, mesh,
+                       atol=1e-12, rtol=1e-12)
+    assert int(iters) > 0
+    assert np.allclose(np.asarray(x_ref), np.asarray(x), atol=1e-9)
