@@ -103,6 +103,7 @@ class PGModel:
         inner_iters_p: int = 5,
         inner_method: str = "chebyshev",
         cond_ratio: float = 20.0,
+        triangular: bool = True,
         assembly_chunk: int = 8192,
     ):
         self.fe = fe
@@ -118,6 +119,7 @@ class PGModel:
         self.inner_iters = (inner_iters_u, inner_iters_p)
         self.inner_method = inner_method
         self.cond_ratio = cond_ratio
+        self.triangular = triangular
         self.assembly_chunk = assembly_chunk
 
         import os as _os
@@ -473,6 +475,11 @@ class PGModel:
         ublock = self._visc_operator(ops["A_uu_e"])
         ublock_op = MaskedOperator(ublock, c["free_u"])
         iu, ip = self.inner_iters
+        up_coupling = None
+        if self.triangular:
+            Amat = self._inv_matrix(ops)
+            free_u = c["free_u"]
+            up_coupling = lambda zp: free_u * Amat.up_matvec(zp)
         M = BlockStokesPrecond(
             visc_op=visc_op,
             visc_diag_inv=1.0 / visc_op.diagonal(),
@@ -486,6 +493,7 @@ class PGModel:
             lmax_p=ops["lmax_p"],
             cond_ratio=self.cond_ratio,
             ublock_op=ublock_op,
+            up_coupling=up_coupling,
         )
         return M, True
 

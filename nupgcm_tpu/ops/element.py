@@ -154,6 +154,14 @@ class SaddleOperator:
         # pp block is identically zero
         return jnp.concatenate([du, jnp.zeros(self.p_plan.ndof, du.dtype)])
 
+    def up_matvec(self, p_vec: jnp.ndarray) -> jnp.ndarray:
+        """Coupling block alone: velocity rows of [0, up; 0, 0] @ [0; p]
+        (the pressure-gradient term).  Used by the block-triangular
+        Stokes preconditioner."""
+        xe_p = jnp.asarray(p_vec)[self.cd_p]
+        yu_e = jnp.einsum("cij,cj->ci", self.up, xe_p)
+        return self._scatter_u(yu_e)
+
     def with_elems(self, uu, up=None, pu=None) -> "SaddleOperator":
         return SaddleOperator(uu=uu, up=up if up is not None else self.up,
                               pu=pu if pu is not None else self.pu,
