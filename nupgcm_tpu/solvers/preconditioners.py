@@ -85,6 +85,39 @@ def const_diag(scale: float):
 
 
 @dataclass
+class CoarseCorrection:
+    """P1-vertex two-grid correction for the velocity block.
+
+    Given a smoothed iterate z for A z = r, restricts the residual to
+    the vertex coarse space (exact P1 c P2 inclusion transpose), solves
+    it with a precomputed dense coarse inverse (MXU matvec), and
+    prolongs the correction back.  Flattens the h-dependence of the
+    outer iteration count that pure Chebyshev smoothing suffers.
+    """
+
+    solve: callable  # rc (Nc,) -> zc (Nc,): dense-inverse matvec or
+    #                   an iterative coarse solve (element-local P1 op)
+    parents: jnp.ndarray  # (n_nodes, 2) int32 coarse vertex dofs
+    weights: jnp.ndarray  # (n_nodes, 2) inclusion weights (1,0)/(.5,.5)
+    coarse_free: jnp.ndarray  # (Nc,) mask
+    free_u: jnp.ndarray  # (3*n_nodes,) fine mask
+    n_vert: int
+
+    def __call__(self, A, r: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        rc = r - A(z)
+        rf = rc.reshape(-1, 3)  # node-major (node, comp)
+        contrib = self.weights[:, :, None] * rf[:, None, :]  # (n, 2, 3)
+        rcoarse = jax.ops.segment_sum(
+            contrib.reshape(-1, 3), self.parents.reshape(-1),
+            num_segments=self.n_vert,
+        ).reshape(-1) * self.coarse_free
+        zc = self.solve(rcoarse) * self.coarse_free
+        zc3 = zc.reshape(-1, 3)[self.parents]  # (n, 2, 3)
+        corr = (self.weights[:, :, None] * zc3).sum(axis=1).reshape(-1)
+        return z + corr * self.free_u
+
+
+@dataclass
 class BlockStokesPrecond:
     """Block-diagonal preconditioner for the (u, p) saddle system.
 
@@ -162,5 +195,10 @@ class BlockStokesPrecond:
                 atol=0.0, rtol=1e-8, itmax=self.inner_iters_u,
             )
         if self.coarse is not None:
+            # V-cycle: pre-smooth (above), coarse solve, post-smooth
             zu = self.coarse(self.visc_op, ru, zu)
+            r2 = ru - self.visc_op(zu)
+            zu = zu + chebyshev(self.visc_op, self.visc_diag_inv, r2,
+                                self.inner_iters_u,
+                                self.lmax_u / self.cond_ratio, self.lmax_u)
         return zu
