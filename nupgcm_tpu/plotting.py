@@ -108,6 +108,92 @@ def sim_plots(model, state, out_dir=".", index=0):
     ]
 
 
+def plot_tri_mesh(model, vals, cb_label="", ofile="tri_mesh.png"):
+    """Gouraud-shaded tripcolor of nodal values on the (x, z) plane of
+    a 2D mesh (reference plot_tri_mesh, src/plotting.jl:418-441).
+
+    ``vals``: per-vertex values, or a full P2 dof vector (vertex part
+    is used -- P2 dofs are vertices then edge midpoints).
+    """
+    plt = _mpl()
+    mesh = model.fe.mesh if hasattr(model, "fe") else model
+    p, t = mesh.coords, mesh.cells
+    vals = np.asarray(vals)
+    if vals.ndim > 1:
+        vals = vals.reshape(vals.shape[0], -1)[:, 0]
+    vals = vals[: mesh.n_vertices]
+    fig, ax = plt.subplots(1)
+    vmax = np.nanmax(np.abs(vals)) or 1.0
+    img = ax.tripcolor(p[:, 0], p[:, 2], t[:, :3], vals, shading="gouraud",
+                       vmin=-vmax, vmax=vmax, cmap="RdBu_r", rasterized=True)
+    cb = fig.colorbar(img, ax=ax, label=cb_label)
+    cb.ax.ticklabel_format(style="sci", scilimits=(-2, 2), useMathText=True)
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_slice_wave(model, u_dofs, b_dofs, N2, k, omega, y=0.0, n=256,
+                    ofile="slice_wave.png", cb_label=""):
+    """Wave-mode slice: real part of complex eigenmode fields carried
+    on e^{ikx} (reference plot_slice_wave, src/plotting.jl:461-543).
+
+    ``u_dofs``/``b_dofs``: complex dof vectors of an eigenmode (from
+    tools.eigen); plots Re(w e^{ikx}) with contours of the full
+    buoyancy N2 z + Re(b e^{ikx}) on the x-z plane at fixed y.
+    """
+    plt = _mpl()
+    mesh = model.fe.mesh
+    sp = model.fe.spaces
+    p = mesh.coords
+    xs = np.linspace(-np.pi / k, np.pi / k, n)
+    zs = np.linspace(p[:, 2].min(), 0.0, n)
+    xx, zz = np.meshgrid(xs, zs, indexing="ij")
+    # the mesh lives in its own x range; evaluate at x mod domain
+    xm = p[:, 0].min() + np.mod(xx - p[:, 0].min(), np.ptp(p[:, 0]) or 1.0)
+    pts = np.column_stack([
+        xm.ravel(), np.full(n * n, y if mesh.tdim == 3 else 0.0), zz.ravel()
+    ])
+    ev = FieldEvaluator(mesh)
+    u_dofs, b_dofs = np.asarray(u_dofs), np.asarray(b_dofs)
+    ur = ev.eval(sp.u_space, u_dofs.real, pts)
+    ui = ev.eval(sp.u_space, u_dofs.imag, pts)
+    br = ev.eval(sp.b_space, b_dofs.real, pts)
+    bi = ev.eval(sp.b_space, b_dofs.imag, pts)
+    carrier = np.exp(1j * k * xx.ravel())
+    w = np.real((ur[:, 2] + 1j * ui[:, 2]) * carrier).reshape(n, n)
+    b = (N2 * zz.ravel() + np.real((br + 1j * bi) * carrier)).reshape(n, n)
+    # fill isolated NaNs with 4-neighbor means (reference :497-511)
+    for F in (w, b):
+        nan = np.isnan(F)
+        if nan.any():
+            Fp = np.pad(F, 1, mode="edge")
+            nb = np.nanmean(
+                np.stack([Fp[:-2, 1:-1], Fp[2:, 1:-1], Fp[1:-1, :-2], Fp[1:-1, 2:]]),
+                axis=0,
+            )
+            F[nan] = nb[nan]
+    fig, ax = plt.subplots(1)
+    vmax = np.nanmax(np.abs(w)) or 1.0
+    pc = ax.pcolormesh(xx, zz, w, cmap="RdBu_r", vmin=-vmax, vmax=vmax,
+                       shading="auto", rasterized=True)
+    fig.colorbar(pc, ax=ax, label=cb_label or "Re(w)")
+    try:
+        ax.contour(xx, zz, b, colors="k", linewidths=0.4, levels=12)
+    except Exception:
+        pass
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    ax.set_title(f"omega = {omega:.4g}")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
 def plot_sparsity_pattern(plan, ofile="sparsity.png", markersize=0.1):
     """Sparsity of an assembled operator (reference
     plot_sparsity_pattern, src/plotting.jl:545-578)."""
