@@ -45,6 +45,7 @@ from .models.model import BlowUpError, PGModel, State
 from .models.timesteppers import BDF1, BDF2
 from .mesh.core import Mesh
 from .mesh.gmsh_reader import read_msh
+from .mesh.writer import write_msh
 from .mesh import generators
 
 __version__ = "0.1.0"
@@ -52,5 +53,5 @@ __all__ = [
     "Parameters", "Forcings", "SurfaceDirichletBC", "SurfaceFluxBC",
     "ConvectionParameterization", "EddyParameterization",
     "Spaces", "FEData", "PGModel", "State", "BlowUpError",
-    "BDF1", "BDF2", "Mesh", "read_msh", "generators",
+    "BDF1", "BDF2", "Mesh", "read_msh", "write_msh", "generators",
 ]

@@ -433,42 +433,46 @@ class PGModel:
         if _dbg:
             print(f"[build]   visc_e {_time.time() - _t0:.1f}s", flush=True)
 
-        @jax.jit
-        def setup_small():
-            o = {}
-            Gb3 = self._grads_b()
-            o["B_e"] = self._chunked_cells(
-                lambda wq: asm.elem_buoyancy_to_velocity(
+        # per-cell-block builder for all the small evolution operators:
+        # runs through the eager chunked path (ONE small jit compiled
+        # once and invoked per block) -- a single fused setup jit with
+        # unrolled chunk loops compiled for 860 s at 45k cells
+        def build_small_elems(wq, kh_q, kv_q, invJT):
+            Gb3 = asm.physical_grads(invJT, c["dphi_b"], c["embed"])
+            return (
+                asm.elem_buoyancy_to_velocity(
                     wq, c["phi_u"], c["phi_b"], jnp.asarray(1.0 / pr.alpha, dt)
                 ),
-                c["wq"],
+                asm.elem_mass(wq, c["phi_b"], c["phi_b"]),
+                asm.elem_stiffness(wq, kh_q, Gb3, (0, 1)),
+                asm.elem_stiffness(wq, kv_q, Gb3, (2,)),
+                asm.elem_rhs_diff(wq, kv_q, Gb3, jnp.asarray(pr.N2, dt)),
+                asm.elem_mass(wq, c["phi_p"], c["phi_p"]) / jnp.asarray(pr.a2e2, dt),
+                jnp.einsum("cq,qk->ck", wq, c["phi_p"]),
             )
+
+        _t0 = _time.time()
+        (ops["B_e"], ops["M_e"], ops["Kh_e"], ops["Kv_e"], rd_e,
+         ops["Mp_e"], pv_e) = self._chunked_cells(
+            build_small_elems, c["wq"], c["kh_q"], c["kv_q"], c["invJT"]
+        )
+
+        @jax.jit
+        def setup_rhs(rd_e, pv_e):
             # wind-stress rhs over combined (u, p) vector
             wind = asm.elem_wind_rhs(
                 c["wq_surf"], c["taux_q"], c["tauy_q"], c["phi_u_surf"],
                 jnp.asarray(pr.alpha, dt),
             )
             s_u = fe.vec_plan_u_surf.assemble(wind)
-            o["s"] = jnp.concatenate([s_u, jnp.zeros(sp.n_p, dt)])
+            return {
+                "s": jnp.concatenate([s_u, jnp.zeros(sp.n_p, dt)]),
+                "rhs_diff": fe.vec_plan_b.assemble(rd_e),
+                # pressure volume weights for the zero-mean constraint
+                "p_volw": fe.vec_plan_p.assemble(pv_e),
+            }
 
-            # evolution operators on the buoyancy space (element-local)
-            o["M_e"] = asm.elem_mass(c["wq"], c["phi_b"], c["phi_b"])
-            o["Kh_e"] = asm.elem_stiffness(c["wq"], c["kh_q"], Gb3, (0, 1))
-            o["Kv_e"] = asm.elem_stiffness(c["wq"], c["kv_q"], Gb3, (2,))
-            o["rhs_diff"] = fe.vec_plan_b.assemble(
-                asm.elem_rhs_diff(c["wq"], c["kv_q"], Gb3, jnp.asarray(pr.N2, dt))
-            )
-            o["Mp_e"] = asm.elem_mass(c["wq"], c["phi_p"], c["phi_p"]) / jnp.asarray(
-                pr.a2e2, dt
-            )
-            # pressure volume weights for the zero-mean constraint
-            o["p_volw"] = fe.vec_plan_p.assemble(
-                jnp.einsum("cq,qk->ck", c["wq"], c["phi_p"])
-            )
-            return o
-
-        _t0 = _time.time()
-        small = setup_small()
+        small = setup_rhs(rd_e, pv_e)
         jax.block_until_ready(small)
         ops.update(small)
         if _dbg:
@@ -658,12 +662,16 @@ class PGModel:
         u = u_flat.reshape(-1, 3)
         return u, p, stats
 
-    def _evolve_pure(self, ops, state: State):
-        """Buoyancy step (reference evolve!, src/model.jl:213-285)."""
+    def _evolve_pure(self, ops, state: State, r=None):
+        """Buoyancy step (reference evolve!, src/model.jl:213-285).
+
+        ``r``: step ratio dt_new/dt_old for variable-step BDF2
+        coefficients (None = fixed step, r = 1)."""
         c = self.const
         fe, pr, fr = self.fe, self.params, self.forcings
         dt_ = state.dt
         mt = self.dtype
+        r = jnp.asarray(1.0 if r is None else r, mt)
 
         Gb3 = self._grads_b()
 
@@ -681,14 +689,18 @@ class PGModel:
             Kv_e = ops["Kv_e"]
             rhs_diff = ops["rhs_diff"]
 
-        # BDF coefficients; BDF2 runs its first step as BDF1
+        # BDF coefficients; BDF2 runs its first step as BDF1.
+        # Variable-step BDF2 (ratio r): c0=(1+r)^2/(1+2r), c1=r^2/(1+2r),
+        # implicit/advection weight w=(1+r)/(1+2r); fixed step r=1
+        # recovers the reference's 4/3, 1/3, 2/3 (src/evolution.jl:187-193).
         is_bdf2 = isinstance(self.ts, BDF2)
         use2 = jnp.logical_and(jnp.asarray(is_bdf2), state.step > 0)
         base_theta = dt_ * pr.a2e2 / pr.mu_rho
-        theta = jnp.where(use2, 2.0 / 3.0 * base_theta, base_theta)
-        c0 = jnp.where(use2, 4.0 / 3.0, 1.0).astype(mt)
-        c1 = jnp.where(use2, 1.0 / 3.0, 0.0).astype(mt)
-        cdt = jnp.where(use2, 2.0 / 3.0 * dt_, dt_).astype(mt)
+        w = (1.0 + r) / (1.0 + 2.0 * r)
+        theta = jnp.where(use2, w * base_theta, base_theta)
+        c0 = jnp.where(use2, (1.0 + r) ** 2 / (1.0 + 2.0 * r), 1.0).astype(mt)
+        c1 = jnp.where(use2, r ** 2 / (1.0 + 2.0 * r), 0.0).astype(mt)
+        cdt = jnp.where(use2, w * dt_, dt_).astype(mt)
 
         Afull = self._evo_matrix(ops, theta, Kv_e)
         A = MaskedOperator(Afull, c["free_b"])
@@ -698,7 +710,7 @@ class PGModel:
         up_e = state.u_prev[c["cd_u"]]
         b_e = state.b[c["cd_b"]]
         bp_e = state.b_prev[c["cd_b"]]
-        w2 = jnp.where(use2, 2.0, 1.0).astype(mt)
+        w2 = jnp.where(use2, 1.0 + r, 1.0).astype(mt)
         ue = w2 * u_e - (w2 - 1.0) * up_e
         be = w2 * b_e - (w2 - 1.0) * bp_e
         u_q = jnp.einsum("qi,cia->cqa", c["phi_u"], ue)
@@ -720,8 +732,10 @@ class PGModel:
         return b_new, stats
 
     def _update_dt(self, state: State):
-        """CFL-adaptive dt (BDF1 only; reference update_Dt!,
-        src/timesteppers.jl:108-119)."""
+        """CFL-adaptive dt (reference update_Dt!,
+        src/timesteppers.jl:108-119; BDF1 there, both orders here --
+        BDF2 growth is clamped to r <= 2 for variable-step
+        zero-stability (bound r < 1 + sqrt(2)))."""
         if not getattr(self.ts, "adaptive", False):
             return state.dt
         c = self.const
@@ -730,7 +744,10 @@ class PGModel:
         speed = jnp.linalg.norm(u_q, axis=-1).max(axis=1)
         u_min = jnp.asarray(0.01, self.dtype)
         ratios = c["h_cells"] / jnp.maximum(speed, u_min)
-        return jnp.asarray(self.ts.CFL_factor, self.dtype) * ratios.min()
+        dt_new = jnp.asarray(self.ts.CFL_factor, self.dtype) * ratios.min()
+        if isinstance(self.ts, BDF2):
+            dt_new = jnp.minimum(dt_new, 2.0 * state.dt)
+        return dt_new
 
     def _eddy_rebuild(self, ops, state: State):
         """Eddy-viscosity inversion-matrix rebuild (reference
@@ -750,12 +767,13 @@ class PGModel:
         fr = self.forcings
 
         def step(ops, state: State):
+            dt_old = state.dt
             dt_ = self._update_dt(state)
             state = State(
                 u=state.u, p=state.p, b=state.b, u_prev=state.u_prev,
                 b_prev=state.b_prev, t=state.t, dt=dt_, step=state.step,
             )
-            b_new, evo_stats = self._evolve_pure(ops, state)
+            b_new, evo_stats = self._evolve_pure(ops, state, r=dt_ / dt_old)
             x0 = jnp.concatenate([state.u.reshape(-1), state.p])
             u_new, p_new, inv_stats = self._invert_pure(ops, b_new, x0)
             new_state = State(

@@ -5,8 +5,17 @@ src/evolution.jl:187-193:
   theta(BDF1) = dt a^2 e^2 / mu_rho
   theta(BDF2) = (2/3) dt a^2 e^2 / mu_rho
 BDF2's first step runs as BDF1 (reference src/model.jl:134-137,
-src/evolution.jl:110).  Adaptive CFL stepping is BDF1-only
-(src/timesteppers.jl:108-122).
+src/evolution.jl:110).
+
+Adaptive CFL stepping works for both orders here: BDF2 uses the
+variable-step coefficients (step ratio r = dt_new / dt_old)
+
+    c0 = (1+r)^2/(1+2r),  c1 = r^2/(1+2r),  w = (1+r)/(1+2r)
+    theta = w dt a^2 e^2/mu_rho,  extrapolation u* = (1+r) u - r u_prev
+
+which reduce to the fixed-step 4/3, 1/3, 2/3, 2 at r = 1.  The
+reference left this as a TODO (src/timesteppers.jl:35) and restricts
+adaptivity to BDF1.
 
 Unlike the reference's mutable Ref-based types, these are frozen
 configs; the evolving (t, dt) live in the State pytree.
@@ -32,8 +41,6 @@ class BDF2:
     t_start: float
     t_stop: float
     dt: float
+    adaptive: bool = False
+    CFL_factor: float = 0.8
     order: int = 2
-
-    @property
-    def adaptive(self) -> bool:
-        return False

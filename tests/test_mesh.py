@@ -138,3 +138,27 @@ def test_gmsh_reader(tmp_path):
     assert "boundary" in m.tagged and "interior" in m.tagged
     v, e = m.tag_closure(["boundary"])
     assert set(v) == {0, 1, 2}
+
+
+def test_msh_writer_roundtrip(tmp_path):
+    """write_msh -> read_msh preserves vertices, cells (as sets), and
+    physical-group closures for 2D and 3D generated meshes."""
+    from nupgcm_tpu.mesh.writer import write_msh
+
+    for name, mesh in [
+        ("bowl3D", bowl3D(0.3, 0.5, nz=3)),
+        ("bowl2D", bowl2D(0.2, 0.5)),
+    ]:
+        path = str(tmp_path / f"{name}.msh")
+        write_msh(mesh, path)
+        m2 = read_msh(path)
+        assert m2.tdim == mesh.tdim
+        assert m2.n_vertices == mesh.n_vertices
+        assert m2.n_cells == mesh.n_cells
+        assert np.allclose(m2.coords, mesh.coords)
+        cells = lambda m: set(map(tuple, np.sort(m.cells, axis=1)))
+        assert cells(m2) == cells(mesh)
+        for t in mesh.tag_names():
+            v1, _ = mesh.tag_closure([t])
+            v2, _ = m2.tag_closure([t])
+            assert set(v1) == set(v2), (name, t)

@@ -93,6 +93,36 @@ def test_bdf1_vs_bdf2_convergence():
     assert errs["BDF2"] < 0.5 * errs["BDF1"], errs
 
 
+def test_adaptive_bdf2_variable_step():
+    """Adaptive BDF2 (variable-step coefficients -- the reference's
+    open TODO, src/timesteppers.jl:35): dt ramps up (clamped to r <= 2
+    per step) while the solution still tracks the exact diffusion
+    decay at second-order accuracy."""
+    mesh = npg.generators.rect_mesh(5, 10)
+    params = npg.Parameters(eps=1.0, alpha=1.0, mu_rho=1.0, N2=0.0,
+                            f=lambda x: 1.0 + 0 * x[0], H=lambda x: 1.0)
+    forc = npg.Forcings(nu=1.0, kappa_h=0.0, kappa_v=1.0, tau_x=0.0, tau_y=0.0,
+                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    spaces = npg.Spaces(mesh, u_diri_tags=["boundary"],
+                        u_diri_masks=[(True, True, True)],
+                        b_diri_tags=["top", "bottom"], b_diri_vals=[0.0, 0.0])
+    fe = npg.FEData(mesh, spaces)
+    # CFL cap ~ 2e-3 (u ~ 0 -> dt = CFL_factor h_min / u_min); start
+    # 16x below it so the ramp exercises r = 2 steps
+    h_min = fe.h_cells.min()
+    cap = 2e-3
+    ts = npg.BDF2(t_start=0, t_stop=1.0, dt=cap / 16,
+                  adaptive=True, CFL_factor=cap * 0.01 / h_min)
+    model = npg.PGModel(fe, params, forc, ts)
+    st = model.set_b(model.rest_state(), lambda x: np.sin(np.pi * x[2]))
+    st = model.run(st, n_info=0, max_steps=40)
+    assert float(st.dt) == pytest.approx(cap, rel=1e-6)  # ramp completed
+    lam = np.pi ** 2
+    zc = spaces.b_space.dof_coords[:, 2]
+    exact = np.exp(-lam * float(st.t)) * np.sin(np.pi * zc)
+    assert np.abs(np.asarray(st.b) - exact).max() < 2e-3
+
+
 @pytest.fixture(scope="module")
 def bowl_model():
     """Reference bowl-mixing configuration on a coarse generated mesh
