@@ -105,6 +105,7 @@ class PGModel:
         cond_ratio: float = 20.0,
         triangular: bool = True,
         twogrid: bool = True,
+        saddle_coarse: Optional[bool] = None,
         coarse_dense_max: int = 12288,
         assembly_chunk: int = 8192,
     ):
@@ -126,10 +127,23 @@ class PGModel:
         # dense inverse (one MXU matvec); above it by inner CG on the
         # element-local P1 operator
         self.coarse_dense = 3 * fe.mesh.n_vertices <= coarse_dense_max
+        # geostrophic (full-saddle P1-P1) coarse correction: the
+        # small-Ekman fix and the strongest option overall (converges
+        # in O(1) outer iterations).  Auto: on whenever its dense
+        # inverse fits; the u-block two-grid then becomes redundant
+        # and is skipped.
+        if saddle_coarse is None:
+            saddle_coarse = 4 * fe.mesh.n_vertices <= coarse_dense_max
+        self.saddle_coarse = saddle_coarse
+        self.saddle_coarse_delta = 1.0
+        if self.saddle_coarse:
+            self.twogrid = False
         if inner_iters_u is None:
-            # with the coarse correction the smoother only needs to damp
-            # high frequencies: 4 pre + 4 post Chebyshev measured optimal
-            inner_iters_u = 4 if self.twogrid else 10
+            # smoothing need only damp high frequencies next to a
+            # coarse solve: 2 (saddle V-cycle) / 4 (u-block two-grid)
+            # pre+post Chebyshev measured optimal on the TPU bench
+            inner_iters_u = (2 if self.saddle_coarse
+                             else 4 if self.twogrid else 10)
         self.inner_iters = (inner_iters_u, inner_iters_p)
         self.assembly_chunk = assembly_chunk
 
@@ -395,6 +409,101 @@ class PGModel:
 
         ops["coarse_inv"] = dense_inv()
 
+    def _assemble_saddle_coarse(self, ops, nu_q=None):
+        """Dense inverse of the P1-P1 COARSE SADDLE system (velocity
+        AND pressure) -- the geostrophic coarse solve for the
+        rotation-dominated (small-Ekman) regime, where the block
+        preconditioner's Mp/a2e2 Schur surrogate breaks down (the
+        reference's own open problem, scratch/inversion_log.md).
+
+        Same forms as the fine system but with P1 velocity (exact
+        Galerkin restriction by nestedness); equal-order P1-P1 is not
+        inf-sup stable, so the pp block gets Brezzi-Pitkaranta
+        stabilization  -delta sum_c h_c^2 (grad p, grad q) / (a2e2 nu)
+        which also removes the spurious-mode singularity.  The dense
+        LU inverse is computed once at setup.
+        """
+        c = self.const
+        fe = self.fe
+        pr = self.params
+        a2e2 = float(pr.a2e2)
+        nv = fe.spaces.p_space.ndof
+        Nc = 4 * nv
+
+        # host float64 throughout: the BP-stabilized saddle matrix is
+        # too ill-conditioned for an f32 LU inverse (the f32 attempt
+        # stalled the outer FGMRES at 2e-5); only the final inverse is
+        # downcast to the device dtype (application error ~1e-7
+        # relative, harmless for a flexible preconditioner)
+        wq = np.asarray(fe.geom.wq, np.float64)
+        invJT = np.asarray(fe.geom.invJT, np.float64)
+        embed = np.asarray(fe.embed, np.float64)
+        phi_p = np.asarray(fe.tab_p.phi, np.float64)
+        dphi_p = np.asarray(fe.tab_p.dphi, np.float64)
+        f_q = np.asarray(c["f_q"], np.float64)
+        nu_q = np.asarray(c["nu_q"] if nu_q is None else nu_q, np.float64)
+        nlp = phi_p.shape[1]
+
+        gp = np.einsum("cpr,qir->cqip", invJT, dphi_p)
+        Gp3 = np.einsum("cqip,pd->cqid", gp, embed)
+        eye3 = np.eye(3)
+        lap = np.einsum("cq,cq,cqid,cqjd->cji", wq, nu_q, Gp3, Gp3)
+        visc = a2e2 * np.einsum("cji,ba->cjbia", lap, eye3)
+        if self.variable_nu:
+            visc = visc + a2e2 * np.einsum(
+                "cq,cq,cqib,cqja->cjbia", wq, nu_q, Gp3, Gp3
+            )
+        mf = np.einsum("cq,cq,qj,qi->cji", wq, f_q, phi_p, phi_p)
+        Cskew = np.zeros((3, 3))
+        Cskew[1, 0], Cskew[0, 1] = 1.0, -1.0
+        nc = wq.shape[0]
+        uu = (visc + np.einsum("cji,ba->cjbia", mf, Cskew)).reshape(
+            nc, 3 * nlp, 3 * nlp
+        )
+        up = -np.einsum("cq,cqjb,qk->cjbk", wq, Gp3, phi_p).reshape(nc, 3 * nlp, nlp)
+        pu = np.einsum("cq,qk,cqia->ckia", wq, phi_p, Gp3).reshape(nc, nlp, 3 * nlp)
+        # BP stabilization on the pp block.  Sign: with our convention
+        # up = -B^T, pu = +B the pressure Schur complement is
+        # +B A^{-1} B^T + pp, so the stabilizer must be POSITIVE
+        # definite (+delta h^2 grad-grad); the classic -delta of the
+        # [[A,B^T],[B,0]] layout flips here.
+        h_ = np.asarray(fe.h_cells[:nc], np.float64)
+        h2 = np.where(h_ > 1e9, 0.0, h_) ** 2  # zero the pad sentinels
+        stab = self.saddle_coarse_delta * h2[:, None, None] * np.einsum(
+            "cq,cqid,cqjd->cji", wq, Gp3, Gp3
+        )
+
+        cd_p = np.asarray(fe.cd_p, np.int64)
+        idx_u = (3 * cd_p[:, :, None] + np.arange(3)).reshape(-1, 3 * nlp)
+        idx_p = 3 * nv + cd_p
+        A = np.zeros((Nc, Nc))
+
+        def scatter(rows, cols, vals):
+            r = np.repeat(rows, cols.shape[1], axis=1).ravel()
+            cc = np.tile(cols, (1, rows.shape[1])).ravel()
+            np.add.at(A, (r, cc), vals.ravel())
+
+        scatter(idx_u, idx_u, uu)
+        scatter(idx_u, idx_p, up)
+        scatter(idx_p, idx_u, pu)
+        scatter(idx_p, idx_p, stab)
+        free = np.concatenate([
+            np.asarray(c["tg_coarse_free"], np.float64),
+            # active pressure dofs (periodic slaves pinned)
+            np.asarray(c["free_inv"][self.fe.spaces.n_u:], np.float64),
+        ])
+        A = free[:, None] * A * free[None, :] + np.diag(1.0 - free)
+        # the constant-pressure mode is the (only) nullspace; pin the
+        # mean with a rank-one volume-weight augmentation (the outer
+        # solve projects constants away regardless)
+        pv = np.zeros(nv)
+        np.add.at(pv, cd_p.ravel(), np.einsum("cq,qk->ck", wq, phi_p).ravel())
+        w = np.concatenate([np.zeros(3 * nv), pv])
+        w /= np.linalg.norm(w)
+        sigma = np.mean(np.abs(np.diagonal(A)))
+        A += sigma * np.outer(w, w)
+        ops["saddle_coarse_inv"] = jnp.asarray(np.linalg.inv(A), self.dtype)
+
     def _coarse_operator(self, coarse_e) -> SaddleOperator:
         """Vector-P1 operator over vertex nodes (node-grouped gathers,
         same layout 3*vertex+comp as the coarse correction vectors)."""
@@ -508,6 +617,12 @@ class PGModel:
             jax.block_until_ready(ops.get("coarse_inv", ops.get("coarse_e")))
             if _dbg:
                 print(f"[build]   coarse {_time.time() - _t0:.1f}s", flush=True)
+        if self.saddle_coarse:
+            _t0 = _time.time()
+            self._assemble_saddle_coarse(ops)
+            jax.block_until_ready(ops["saddle_coarse_inv"])
+            if _dbg:
+                print(f"[build]   saddle_coarse {_time.time() - _t0:.1f}s", flush=True)
 
         # surface buoyancy-flux rhs (static; zero under Dirichlet BC)
         if isinstance(fr.b_surface_bc, SurfaceFluxBC):
@@ -618,6 +733,23 @@ class PGModel:
                 free_u=jnp.asarray(c["free_u"]),
                 n_vert=self.fe.spaces.p_space.ndof,
             )
+        saddle_coarse = None
+        outer_op = None
+        if "saddle_coarse_inv" in ops:
+            from ..solvers.preconditioners import SaddleCoarseCorrection
+
+            if not self.triangular:
+                Amat = self._inv_matrix(ops)
+            outer_op = MaskedOperator(Amat, c["free_inv"])
+            saddle_coarse = SaddleCoarseCorrection(
+                inv=ops["saddle_coarse_inv"],
+                parents=jnp.asarray(c["tg_parents"]),
+                weights=jnp.asarray(c["tg_weights"]),
+                coarse_free_u=jnp.asarray(c["tg_coarse_free"]),
+                free_fine=jnp.asarray(c["free_inv"]),
+                n_vert=self.fe.spaces.p_space.ndof,
+                nu_dofs=self.fe.spaces.n_u,
+            )
         M = BlockStokesPrecond(
             visc_op=visc_op,
             visc_diag_inv=1.0 / visc_op.diagonal(),
@@ -633,6 +765,8 @@ class PGModel:
             ublock_op=ublock_op,
             up_coupling=up_coupling,
             coarse=coarse,
+            saddle_coarse=saddle_coarse,
+            outer_op=outer_op,
         )
         return M, True
 

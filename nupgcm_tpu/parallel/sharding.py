@@ -57,17 +57,21 @@ def shard_model(model, mesh: Mesh):
     if "f_eddy_q" in model.const:
         model.const["f_eddy_q"] = put(model.const["f_eddy_q"], sh0)
     # replicated small tables + masks
-    for k in ("embed", "phi_u", "dphi_u", "phi_p", "phi_b", "dphi_b",
+    for k in ("embed", "phi_u", "dphi_u", "phi_p", "dphi_p", "phi_b", "dphi_b",
               "free_u", "udiri", "free_b", "bdiri", "free_inv", "xdiri_inv",
-              "wq_surf", "phi_u_surf", "phi_b_surf", "taux_q", "tauy_q"):
+              "wq_surf", "phi_u_surf", "phi_b_surf", "taux_q", "tauy_q",
+              "tg_parents", "tg_weights", "tg_coarse_free"):
         if k in model.const:
             model.const[k] = put(model.const[k], repl)
 
     # element operator tensors: shard along the cell axis
-    for k in ("A_uu_e", "A_up_e", "A_pu_e", "B_e", "M_e", "Kh_e", "Kv_e", "visc_e", "Mp_e"):
-        model.ops[k] = put(model.ops[k], sh0)
-    for k in ("s", "rhs_diff", "rhs_flux", "p_volw"):
-        model.ops[k] = put(model.ops[k], repl)
+    for k in ("A_uu_e", "A_up_e", "A_pu_e", "B_e", "M_e", "Kh_e", "Kv_e",
+              "visc_e", "Mp_e", "coarse_e"):
+        if k in model.ops:
+            model.ops[k] = put(model.ops[k], sh0)
+    for k in ("s", "rhs_diff", "rhs_flux", "p_volw", "coarse_inv"):
+        if k in model.ops:
+            model.ops[k] = put(model.ops[k], repl)
     model.mesh_devices = mesh
     # re-create the jit wrappers so fresh traces capture the new
     # shardings (previously traced closures baked the old placements)

@@ -118,6 +118,48 @@ class CoarseCorrection:
 
 
 @dataclass
+class SaddleCoarseCorrection:
+    """P1-P1 coarse correction over the FULL (u, p) saddle residual.
+
+    Captures the global geostrophic/baroclinic coupling that the
+    block preconditioner's Mp/a2e2 Schur surrogate misses in the
+    rotation-dominated (small-Ekman) regime: the coarse problem is the
+    same rotating saddle system on the vertex space (BP-stabilized),
+    inverted densely once at setup.  Velocity restriction/prolongation
+    is the exact P1 c P2 inclusion; pressure (already P1) passes
+    through unchanged.
+    """
+
+    inv: jnp.ndarray  # (4nv, 4nv) dense inverse
+    parents: jnp.ndarray  # (n_nodes, 2)
+    weights: jnp.ndarray  # (n_nodes, 2)
+    coarse_free_u: jnp.ndarray  # (3nv,)
+    free_fine: jnp.ndarray  # (N,) full fine free mask
+    n_vert: int
+    nu_dofs: int  # fine velocity dof count
+
+    def _restrict(self, r: jnp.ndarray) -> jnp.ndarray:
+        ru = r[: self.nu_dofs].reshape(-1, 3)
+        contrib = self.weights[:, :, None] * ru[:, None, :]
+        rcu = jax.ops.segment_sum(
+            contrib.reshape(-1, 3), self.parents.reshape(-1),
+            num_segments=self.n_vert,
+        ).reshape(-1) * self.coarse_free_u
+        return jnp.concatenate([rcu, r[self.nu_dofs:]])
+
+    def _prolong(self, zc: jnp.ndarray) -> jnp.ndarray:
+        zcu = (zc[: 3 * self.n_vert] * self.coarse_free_u).reshape(-1, 3)
+        z3 = zcu[self.parents]  # (n, 2, 3)
+        zu = (self.weights[:, :, None] * z3).sum(axis=1).reshape(-1)
+        return jnp.concatenate([zu, zc[3 * self.n_vert:]])
+
+    def __call__(self, A, r: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        rc = r - A(z)
+        zc = self.inv @ self._restrict(rc)
+        return z + self._prolong(zc) * self.free_fine
+
+
+@dataclass
 class BlockStokesPrecond:
     """Block-diagonal preconditioner for the (u, p) saddle system.
 
@@ -146,6 +188,9 @@ class BlockStokesPrecond:
     ublock_op: callable = None  # FULL u-block (viscous + Coriolis)
     up_coupling: callable = None  # p -> u pressure-gradient block (-B^T)
     coarse: object = None  # optional TwoGridU coarse correction
+    saddle_coarse: object = None  # optional SaddleCoarseCorrection
+    outer_op: callable = None  # full masked saddle operator (for
+    #                            residuals of the saddle coarse step)
 
     def _solve_p(self, rp: jnp.ndarray) -> jnp.ndarray:
         if self.method == "cg":
@@ -158,6 +203,19 @@ class BlockStokesPrecond:
                          self.inner_iters_p, self.lmax_p / 4.0, self.lmax_p)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        z = self._block(r)
+        if self.saddle_coarse is not None:
+            # multiplicative two-level step over the whole saddle
+            # system: block pre-smooth -> geostrophic coarse.  NO post
+            # block smooth: the Chebyshev u-block amplifies modes below
+            # its lmin bound, and in post position (after the coarse
+            # has removed what it can) that amplification compounds
+            # until the outer FGMRES stalls (measured: stall at 2e-5
+            # with post, clean convergence without).
+            z = self.saddle_coarse(self.outer_op, r, z)
+        return z
+
+    def _block(self, r: jnp.ndarray) -> jnp.ndarray:
         ru, rp = r[: self.nu_dofs], r[self.nu_dofs:]
         if self.up_coupling is not None:
             # block UPPER-triangular M = [[A_hat, up], [0, S_hat]]:
