@@ -319,3 +319,45 @@ def test_eddy_parameterization_rebuild():
     A1 = np.asarray(model.ops["A_uu_e"])
     assert np.isfinite(np.asarray(st.u)).all()
     assert np.abs(A1 - A0).max() > 1e-10  # matrix actually rebuilt
+
+
+def test_small_ekman_saddle_coarse():
+    """Rotation-dominated inversion (small Ekman number): the block
+    preconditioner's Mp Schur surrogate degrades as eps -> 0 (the
+    reference's own open problem, scratch/inversion_log.md); the
+    P1-P1 full-saddle coarse correction must keep the outer FGMRES
+    converging in a handful of iterations and clearly beat the
+    block-only preconditioner at the same iteration budget."""
+    eps, alpha = 0.05, 0.5
+    mesh = npg.generators.bowl3D(0.35, alpha, nz=4)
+    params = npg.Parameters(eps=eps, alpha=alpha, mu_rho=1.0, N2=1 / alpha,
+                            f=lambda x: 1.0 + 0.5 * x[1],
+                            H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2))
+    forc = npg.Forcings(nu=1.0, kappa_h=1.0, kappa_v=1.0, tau_x=0.0, tau_y=0.0,
+                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    spaces = npg.Spaces(
+        mesh,
+        u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True),
+                      (False, False, True)],
+        b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0])
+    fe = npg.FEData(mesh, spaces)
+    ts = npg.BDF2(t_start=0, t_stop=1, dt=1e-2)
+    b_ic = lambda x: 0.1 * np.exp(
+        (x[2] - alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.2 * alpha))
+
+    stats = {}
+    for on in (True, False):
+        model = npg.PGModel(fe, params, forc, ts, saddle_coarse=on,
+                            inv_itmax=60)
+        st = model.set_b(model.rest_state(), b_ic)
+        _, _, aux = model.invert_jit(model.ops, st)
+        stats[on] = (int(aux["inv_iters"]), float(aux["inv_res"]))
+
+    it_on, res_on = stats[True]
+    it_off, res_off = stats[False]
+    assert res_on < 1e-5, stats  # converged in the hard regime
+    assert it_on <= 25, stats  # O(1)-ish outer iterations
+    # the coarse solve must be doing real work vs block-only
+    assert it_on < it_off or res_on < 1e-2 * res_off, stats
