@@ -48,6 +48,15 @@ def _read_blocks(path: str) -> dict[str, list[str]]:
 
 
 def read_msh(path: str) -> Mesh:
+    coords, cells, tagged, tdim = read_msh_arrays(path)
+    return Mesh(tdim=tdim, coords=coords, cells=cells, tagged=tagged)
+
+
+def read_msh_arrays(path: str):
+    """Parse a .msh into raw arrays (coords, cells, tagged, tdim) in
+    FILE order -- no orientation fixing.  ``read_msh`` wraps this in a
+    Mesh; reference-interop (io/gridap.py) needs the raw connectivity
+    because Gridap's topology numbering is derived from it."""
     blocks = _read_blocks(path)
     if "MeshFormat" not in blocks:
         raise ValueError(f"{path}: not a gmsh msh file")
@@ -104,6 +113,12 @@ def read_msh(path: str) -> Mesh:
             node_xyz[out + k] = [float(v) for v in body[row + k].split()[:3]]
         row += n
         out += n
+    # order nodes by gmsh tag (ascending) -- matches Gridap's
+    # GmshDiscreteModel vertex numbering; files in the wild list tags
+    # contiguously ascending, making this a no-op
+    order = np.argsort(node_ids, kind="stable")
+    node_ids = node_ids[order]
+    node_xyz = node_xyz[order]
     id2idx = np.full(node_ids.max() + 1, -1, dtype=np.int64)
     id2idx[node_ids] = np.arange(num_nodes)
 
@@ -144,4 +159,4 @@ def read_msh(path: str) -> Mesh:
             arr = np.vstack(conns)
             group[dim] = np.vstack([group[dim], arr]) if dim in group else arr
 
-    return Mesh(tdim=tdim, coords=node_xyz, cells=cells, tagged=tagged)
+    return node_xyz, cells, tagged, tdim
