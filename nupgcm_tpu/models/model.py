@@ -101,12 +101,13 @@ class PGModel:
         preconditioner: str = "blockstokes",
         inner_iters_u: Optional[int] = None,
         inner_iters_p: int = 5,
-        inner_method: str = "chebyshev",
+        inner_method: Optional[str] = None,
         cond_ratio: float = 20.0,
         triangular: bool = True,
         twogrid: bool = True,
         saddle_coarse: Optional[bool] = None,
         coarse_dense_max: int = 12288,
+        saddle_coarse_inner: Optional[int] = None,
         assembly_chunk: int = 8192,
     ):
         self.fe = fe
@@ -119,7 +120,6 @@ class PGModel:
         self.inv_opts = dict(atol=inv_atol, rtol=inv_rtol, itmax=inv_itmax, m=inv_memory)
         self.evo_opts = dict(atol=evo_atol, rtol=evo_rtol, itmax=evo_itmax)
         self.precond_kind = preconditioner
-        self.inner_method = inner_method
         self.cond_ratio = cond_ratio
         self.triangular = triangular
         self.twogrid = twogrid
@@ -129,21 +129,50 @@ class PGModel:
         self.coarse_dense = 3 * fe.mesh.n_vertices <= coarse_dense_max
         # geostrophic (full-saddle P1-P1) coarse correction: the
         # small-Ekman fix and the strongest option overall (converges
-        # in O(1) outer iterations).  Auto: on whenever its dense
-        # inverse fits; the u-block two-grid then becomes redundant
-        # and is skipped.
+        # in O(1) outer iterations).  Default ON at every size: small
+        # meshes use a precomputed dense coarse inverse (one MXU
+        # matvec), large ones an inner block-preconditioned FGMRES on
+        # the element-local P1-P1 coarse operator.  The u-block
+        # two-grid then becomes redundant and is skipped.
         if saddle_coarse is None:
-            saddle_coarse = 4 * fe.mesh.n_vertices <= coarse_dense_max
+            saddle_coarse = True
         self.saddle_coarse = saddle_coarse
+        self.saddle_coarse_dense = 4 * fe.mesh.n_vertices <= coarse_dense_max
         self.saddle_coarse_delta = 1.0
         if self.saddle_coarse:
             self.twogrid = False
+        if inner_method is None:
+            # rotation-dominance at grid scale: Coriolis vs viscous
+            # stiffness, f h^2 / (a2e2 nu).  Beyond ~10 the SPD
+            # Chebyshev surrogate cannot damp the rotational fine
+            # modes (measured: 37 vs 17 outer iterations at eps=0.05)
+            # and the full-block inner GMRES smoother takes over.
+            xq = fe.geom.xq[: min(len(fe.geom.xq), 4096)]
+            f_med = float(np.median(np.abs(_quad_eval(params.f, xq, np.float64))))
+            nu_med = float(np.median(np.abs(_quad_eval(forcings.nu, xq, np.float64))))
+            rot = f_med * fe.h_median ** 2 / (params.a2e2 * max(nu_med, 1e-300))
+            inner_method = (
+                "inner_gmres" if (self.saddle_coarse and rot > 10.0) else "chebyshev"
+            )
+        self.inner_method = inner_method
+        if saddle_coarse_inner is None:
+            # the iterative coarse solve needs a deeper inner budget
+            # in the rotation-dominated regime (measured: k=16 stalls
+            # the outer at eps=0.05 while k=40 converges h-flat)
+            saddle_coarse_inner = 40 if self.inner_method == "inner_gmres" else 16
+        self.saddle_coarse_inner = saddle_coarse_inner
         if inner_iters_u is None:
             # smoothing need only damp high frequencies next to a
             # coarse solve: 2 (saddle V-cycle) / 4 (u-block two-grid)
-            # pre+post Chebyshev measured optimal on the TPU bench
-            inner_iters_u = (2 if self.saddle_coarse
-                             else 4 if self.twogrid else 10)
+            # pre+post Chebyshev measured optimal on the TPU bench;
+            # the inner-GMRES smoother needs a slightly deeper Krylov
+            # space to capture the rotational coupling (6 measured
+            # optimal at eps=0.05)
+            if self.inner_method == "inner_gmres":
+                inner_iters_u = 6
+            else:
+                inner_iters_u = (2 if self.saddle_coarse
+                                 else 4 if self.twogrid else 10)
         self.inner_iters = (inner_iters_u, inner_iters_p)
         self.assembly_chunk = assembly_chunk
 
@@ -410,19 +439,156 @@ class PGModel:
         ops["coarse_inv"] = dense_inv()
 
     def _assemble_saddle_coarse(self, ops, nu_q=None):
-        """Dense inverse of the P1-P1 COARSE SADDLE system (velocity
-        AND pressure) -- the geostrophic coarse solve for the
-        rotation-dominated (small-Ekman) regime, where the block
-        preconditioner's Mp/a2e2 Schur surrogate breaks down (the
-        reference's own open problem, scratch/inversion_log.md).
+        """P1-P1 COARSE SADDLE system (velocity AND pressure) -- the
+        geostrophic coarse solve for the rotation-dominated
+        (small-Ekman) regime, where the block preconditioner's Mp/a2e2
+        Schur surrogate breaks down (the reference's own open problem,
+        scratch/inversion_log.md).
 
         Same forms as the fine system but with P1 velocity (exact
         Galerkin restriction by nestedness); equal-order P1-P1 is not
         inf-sup stable, so the pp block gets Brezzi-Pitkaranta
-        stabilization  -delta sum_c h_c^2 (grad p, grad q) / (a2e2 nu)
-        which also removes the spurious-mode singularity.  The dense
-        LU inverse is computed once at setup.
+        stabilization  +delta sum_c h_c^2 (grad p, grad q)  which also
+        removes the spurious-mode singularity.
+
+        Small meshes (4 n_vert <= coarse_dense_max): dense LU inverse
+        once at setup, applied as one MXU matvec.  Larger meshes:
+        element-local coarse blocks solved by an inner
+        block-preconditioned FGMRES per application
+        (_assemble_saddle_coarse_elems) -- O(n) memory, scales to
+        production meshes.
         """
+        if self.saddle_coarse_dense:
+            self._assemble_saddle_coarse_dense(ops, nu_q)
+        else:
+            self._assemble_saddle_coarse_elems(ops, nu_q)
+
+    def _assemble_saddle_coarse_elems(self, ops, nu_q=None):
+        """Element tensors of the BP-stabilized P1-P1 coarse saddle
+        operator + the coarse visc smoothing surrogate, all on device
+        (dtype-native): the scalable coarse path."""
+        c = self.const
+        fe = self.fe
+        dt = self.dtype
+        a2e2 = jnp.asarray(self.params.a2e2, dt)
+        delta = jnp.asarray(self.saddle_coarse_delta, dt)
+        nu_q = c["nu_q"] if nu_q is None else nu_q
+        nlp = c["phi_p"].shape[1]
+        eye3 = jnp.eye(3, dtype=dt)
+        h_ = np.asarray(fe.h_cells, np.float64)
+        h2 = np.asarray(np.where(h_ > 1e9, 0.0, h_) ** 2, dt)  # pad sentinels
+
+        def build(wq, nu_q, f_q, invJT, h2):
+            Gp3 = asm.physical_grads(invJT, c["dphi_p"], c["embed"])
+            uu, up, pu = asm.elem_inversion_blocks(
+                wq, nu_q, f_q, c["phi_p"], Gp3, c["phi_p"], a2e2,
+                self.variable_nu,
+            )
+            gg = jnp.einsum("cq,cqid,cqjd->cij", wq, Gp3, Gp3)
+            pp = delta * h2[:, None, None] * gg
+            # smoothing surrogate: viscous + |f| mass, SPD
+            lap = jnp.einsum("cq,cq,cqid,cqjd->cji", wq, nu_q, Gp3, Gp3)
+            mf = jnp.einsum("cq,cq,qj,qi->cji", wq, jnp.abs(f_q),
+                            c["phi_p"], c["phi_p"])
+            visc = jnp.einsum("cji,ba->cjbia", a2e2 * lap + mf, eye3)
+            return uu, up, pu, pp, visc.reshape(wq.shape[0], 3 * nlp, 3 * nlp)
+
+        (ops["sc_uu"], ops["sc_up"], ops["sc_pu"], ops["sc_pp"],
+         ops["sc_visc_e"]) = self._chunked_cells(
+            build, c["wq"], jnp.asarray(nu_q, dt), c["f_q"], c["invJT"], h2
+        )
+
+        # rank-one constant-pressure pin + spectral bound of the
+        # smoothing surrogate (for Chebyshev), computed once
+        nv = fe.spaces.p_space.ndof
+        free_p = c["free_inv"][self.fe.spaces.n_u:]
+        pw = np.zeros(nv)
+        cd_p = np.asarray(fe.cd_p, np.int64)
+        wq_np = np.asarray(fe.geom.wq, np.float64)
+        phi_p = np.asarray(fe.tab_p.phi, np.float64)
+        np.add.at(pw, cd_p.ravel(), np.einsum("cq,qk->ck", wq_np, phi_p).ravel())
+        pw = pw * np.asarray(free_p, np.float64)
+        w = np.concatenate([np.zeros(3 * nv), pw / np.linalg.norm(pw)])
+        ops["sc_pin"] = jnp.asarray(w, dt)
+
+        cop = self._saddle_coarse_operator(ops)
+        free_c = jnp.concatenate([jnp.asarray(c["tg_coarse_free"]),
+                                  jnp.asarray(free_p)])
+        cmask = MaskedOperator(cop, free_c)
+        ops["sc_sigma"] = jnp.mean(jnp.abs(cmask.diagonal()))
+        from ..solvers.preconditioners import power_lmax
+
+        cvisc = MaskedOperator(self._coarse_operator(ops["sc_visc_e"]),
+                               c["tg_coarse_free"])
+        ops["sc_lmax"] = power_lmax(cvisc, 1.0 / cvisc.diagonal(), 3 * nv)
+
+    def _saddle_coarse_operator(self, ops) -> SaddleOperator:
+        fe = self.fe
+        return SaddleOperator(
+            uu=ops["sc_uu"], up=ops["sc_up"], pu=ops["sc_pu"],
+            pp=ops["sc_pp"],
+            cd_u=np.asarray(fe.cd_p, np.int32),
+            cd_p=np.asarray(fe.cd_p, np.int32),
+            u_plan=fe.vec_plan_p, p_plan=fe.vec_plan_p,
+            n_u_nodes=fe.spaces.p_space.ndof,
+        )
+
+    def _saddle_coarse_solver(self, ops, mp_op):
+        """Inner coarse solve for the element-local path: FGMRES on
+        the masked + pressure-pinned coarse saddle operator,
+        preconditioned by a coarse-level block-triangular Stokes
+        preconditioner (Chebyshev on the P1 visc surrogate + Mp).  A
+        fixed inner budget with loose rtol -- the outer FGMRES is
+        flexible, so an approximate, iteration-varying coarse solve is
+        admissible."""
+        c = self.const
+        fe = self.fe
+        nv = fe.spaces.p_space.ndof
+        free_p = c["free_inv"][fe.spaces.n_u:]
+        free_c = jnp.concatenate([jnp.asarray(c["tg_coarse_free"]),
+                                  jnp.asarray(free_p)])
+        cop = self._saddle_coarse_operator(ops)
+        cmask = MaskedOperator(cop, free_c)
+        w = ops["sc_pin"]
+        sigma = ops["sc_sigma"]
+
+        def cmat(x):
+            return cmask(x) + sigma * w * jnp.vdot(w, x)
+
+        cvisc = MaskedOperator(self._coarse_operator(ops["sc_visc_e"]),
+                               c["tg_coarse_free"])
+        tg_free = jnp.asarray(c["tg_coarse_free"])
+        # the coarse level inherits the fine regime: rotation-dominated
+        # runs smooth the full (nonsymmetric) coarse uu block
+        cuu = MaskedOperator(self._coarse_operator(ops["sc_uu"]),
+                             c["tg_coarse_free"])
+        Mc = BlockStokesPrecond(
+            visc_op=cvisc,
+            visc_diag_inv=1.0 / cvisc.diagonal(),
+            mp_op=mp_op,
+            mp_diag_inv=1.0 / mp_op.diagonal(),
+            nu_dofs=3 * nv,
+            inner_iters_u=6 if self.inner_method == "inner_gmres" else 3,
+            inner_iters_p=3,
+            method=self.inner_method,
+            lmax_u=ops["sc_lmax"],
+            lmax_p=ops["lmax_p"],
+            cond_ratio=self.cond_ratio,
+            ublock_op=cuu,
+            up_coupling=lambda zp: tg_free * cop.up_matvec(zp),
+        )
+        k = self.saddle_coarse_inner
+
+        def solve(rc):
+            zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=Mc, flexible=True,
+                          m=k, itmax=k, atol=0.0, rtol=1e-2)
+            return zc
+
+        return solve
+
+    def _assemble_saddle_coarse_dense(self, ops, nu_q=None):
+        """Dense-inverse coarse path (small meshes): host float64
+        assembly + LU inverse once at setup."""
         c = self.const
         fe = self.fe
         pr = self.params
@@ -620,7 +786,7 @@ class PGModel:
         if self.saddle_coarse:
             _t0 = _time.time()
             self._assemble_saddle_coarse(ops)
-            jax.block_until_ready(ops["saddle_coarse_inv"])
+            jax.block_until_ready(ops.get("saddle_coarse_inv", ops.get("sc_uu")))
             if _dbg:
                 print(f"[build]   saddle_coarse {_time.time() - _t0:.1f}s", flush=True)
 
@@ -735,14 +901,19 @@ class PGModel:
             )
         saddle_coarse = None
         outer_op = None
-        if "saddle_coarse_inv" in ops:
+        if "saddle_coarse_inv" in ops or "sc_uu" in ops:
             from ..solvers.preconditioners import SaddleCoarseCorrection
 
             if not self.triangular:
                 Amat = self._inv_matrix(ops)
             outer_op = MaskedOperator(Amat, c["free_inv"])
+            if "saddle_coarse_inv" in ops:
+                cinv = ops["saddle_coarse_inv"]
+                coarse_solve = lambda rc: cinv @ rc
+            else:
+                coarse_solve = self._saddle_coarse_solver(ops, mp_op)
             saddle_coarse = SaddleCoarseCorrection(
-                inv=ops["saddle_coarse_inv"],
+                solve=coarse_solve,
                 parents=jnp.asarray(c["tg_parents"]),
                 weights=jnp.asarray(c["tg_weights"]),
                 coarse_free_u=jnp.asarray(c["tg_coarse_free"]),

@@ -97,7 +97,10 @@ class SaddleOperator:
 
     uu: (nc, 3*nlu, 3*nlu);  up: (nc, 3*nlu, nlp);  pu: (nc, nlp, 3*nlu)
     (up/pu may be None for velocity-only operators, e.g. the
-    preconditioner's viscous block).
+    preconditioner's viscous block).  ``pp`` is an optional
+    (nc, nlp, nlp) pressure-pressure block (zero for the plain saddle
+    system; the Brezzi-Pitkaranta stabilization of the P1-P1 coarse
+    system lives there).
     """
 
     uu: jnp.ndarray
@@ -108,16 +111,17 @@ class SaddleOperator:
     u_plan: object
     p_plan: object
     n_u_nodes: int
+    pp: jnp.ndarray = None
 
     def tree_flatten(self):
-        return (self.uu, self.up, self.pu, self.cd_u, self.cd_p), (
+        return (self.uu, self.up, self.pu, self.cd_u, self.cd_p, self.pp), (
             self.u_plan, self.p_plan, self.n_u_nodes,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        uu, up, pu, cd_u, cd_p = children
-        return cls(uu=uu, up=up, pu=pu, cd_u=cd_u, cd_p=cd_p,
+        uu, up, pu, cd_u, cd_p, pp = children
+        return cls(uu=uu, up=up, pu=pu, cd_u=cd_u, cd_p=cd_p, pp=pp,
                    u_plan=aux[0], p_plan=aux[1], n_u_nodes=aux[2])
 
     @property
@@ -145,14 +149,19 @@ class SaddleOperator:
         xe_p = self._gather_p(x)
         yu_e = yu_e + jnp.einsum("cij,cj->ci", self.up, xe_p)
         yp_e = jnp.einsum("cij,cj->ci", self.pu, xe_u)
+        if self.pp is not None:
+            yp_e = yp_e + jnp.einsum("cij,cj->ci", self.pp, xe_p)
         return jnp.concatenate([self._scatter_u(yu_e), self.p_plan.assemble(yp_e)])
 
     def diagonal(self) -> jnp.ndarray:
         du = self._scatter_u(jnp.einsum("cii->ci", self.uu))
         if self.up is None:
             return du
-        # pp block is identically zero
-        return jnp.concatenate([du, jnp.zeros(self.p_plan.ndof, du.dtype)])
+        if self.pp is not None:
+            dp = self.p_plan.assemble(jnp.einsum("cii->ci", self.pp))
+        else:
+            dp = jnp.zeros(self.p_plan.ndof, du.dtype)
+        return jnp.concatenate([du, dp])
 
     def up_matvec(self, p_vec: jnp.ndarray) -> jnp.ndarray:
         """Coupling block alone: velocity rows of [0, up; 0, 0] @ [0; p]

@@ -125,12 +125,14 @@ class SaddleCoarseCorrection:
     block preconditioner's Mp/a2e2 Schur surrogate misses in the
     rotation-dominated (small-Ekman) regime: the coarse problem is the
     same rotating saddle system on the vertex space (BP-stabilized),
-    inverted densely once at setup.  Velocity restriction/prolongation
-    is the exact P1 c P2 inclusion; pressure (already P1) passes
-    through unchanged.
+    solved by ``solve`` -- a dense precomputed inverse (small meshes,
+    one MXU matvec) or an inner block-preconditioned FGMRES on the
+    element-local coarse operator (large meshes).  Velocity
+    restriction/prolongation is the exact P1 c P2 inclusion; pressure
+    (already P1) passes through unchanged.
     """
 
-    inv: jnp.ndarray  # (4nv, 4nv) dense inverse
+    solve: callable  # rc (4nv,) -> zc (4nv,)
     parents: jnp.ndarray  # (n_nodes, 2)
     weights: jnp.ndarray  # (n_nodes, 2)
     coarse_free_u: jnp.ndarray  # (3nv,)
@@ -155,7 +157,7 @@ class SaddleCoarseCorrection:
 
     def __call__(self, A, r: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
         rc = r - A(z)
-        zc = self.inv @ self._restrict(rc)
+        zc = self.solve(self._restrict(rc))
         return z + self._prolong(zc) * self.free_fine
 
 

@@ -361,3 +361,44 @@ def test_small_ekman_saddle_coarse():
     assert it_on <= 25, stats  # O(1)-ish outer iterations
     # the coarse solve must be doing real work vs block-only
     assert it_on < it_off or res_on < 1e-2 * res_off, stats
+
+
+def test_saddle_coarse_scales_past_dense():
+    """The element-local iterative coarse path (meshes too big for the
+    dense coarse inverse): outer FGMRES iterations stay bounded and
+    near-flat through >=100k inversion DoFs with saddle_coarse active
+    by default (the dense path caps at coarse_dense_max/4 vertices)."""
+    eps, alpha = 0.5, 0.5
+    params = npg.Parameters(eps=eps, alpha=alpha, mu_rho=1.0, N2=1 / alpha,
+                            f=lambda x: 1.0 + 0.5 * x[1],
+                            H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2))
+    kap = lambda x: 1e-2 + np.exp(
+        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
+    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    bic = lambda x: 0.1 * np.exp(
+        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05)
+
+    iters = {}
+    for h, nz, kw in [(0.14, 5, dict(coarse_dense_max=0)),  # force iterative
+                      (0.08, 9, {})]:  # naturally past the dense limit
+        mesh = npg.generators.bowl3D(h, alpha, nz=nz)
+        spaces = npg.Spaces(
+            mesh, u_diri_tags=["bottom", "coastline", "surface"],
+            u_diri_vals=[(0, 0, 0)] * 3,
+            u_diri_masks=[(True, True, True), (True, True, True),
+                          (False, False, True)],
+            b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0])
+        fe = npg.FEData(mesh, spaces)
+        ts = npg.BDF2(t_start=0, t_stop=1, dt=1e-3)
+        model = npg.PGModel(fe, params, forc, ts, inv_itmax=100, **kw)
+        assert not model.saddle_coarse_dense or kw  # iterative path active
+        st = model.set_b(model.rest_state(), bic)
+        _, _, aux = model.invert_jit(model.ops, st)
+        iters[fe.n_inv] = (int(aux["inv_iters"]), float(aux["inv_res"]))
+
+    (n1, (it1, res1)), (n2, (it2, res2)) = sorted(iters.items())
+    assert n2 >= 100_000, iters
+    assert res1 < 1e-5 and res2 < 1e-5, iters
+    assert it2 <= 35, iters  # bounded at 100k DoF
+    assert it2 <= it1 + 15, iters  # near-flat growth over 5x DoFs
