@@ -30,12 +30,17 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def cg(op, b, x0, *, M_diag_inv=None, M=None, atol=1e-6, rtol=1e-6, itmax=0):
+def cg(op, b, x0, *, M_diag_inv=None, M=None, atol=1e-6, rtol=1e-6, itmax=0,
+       psum_axis=None):
     """Solve op(x) = b with preconditioned CG.
 
     op: callable x -> A x (SPD on the relevant subspace)
     M_diag_inv: diagonal preconditioner entries (1/diag), or
     M: callable r -> M^{-1} r (overrides M_diag_inv)
+    psum_axis: when running inside shard_map over a device mesh axis,
+    vectors are shard-local and dot products are psummed over this
+    axis -- the distributed-CG mode (SURVEY.md §2.3 distributed
+    reductions).
     Returns (x, SolveStats).
     """
     n = b.shape[0]
@@ -47,10 +52,16 @@ def cg(op, b, x0, *, M_diag_inv=None, M=None, atol=1e-6, rtol=1e-6, itmax=0):
     if M is None:
         M = lambda r: r
 
+    if psum_axis is None:
+        vdot = jnp.vdot
+    else:
+        vdot = lambda u, v: jax.lax.psum(jnp.vdot(u, v), psum_axis)
+    _norm = lambda v: jnp.sqrt(vdot(v, v))
+
     r0 = b - op(x0)
     z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0)
-    rnorm0 = jnp.linalg.norm(r0)
+    rz0 = vdot(r0, z0)
+    rnorm0 = _norm(r0)
     tol = atol + rtol * rnorm0
 
     def cond(state):
@@ -60,15 +71,15 @@ def cg(op, b, x0, *, M_diag_inv=None, M=None, atol=1e-6, rtol=1e-6, itmax=0):
     def body(state):
         x, r, z, p, rz, k, rnorm = state
         Ap = op(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = vdot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1, jnp.linalg.norm(r))
+        return (x, r, z, p, rz_new, k + 1, _norm(r))
 
     state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32), rnorm0)
     x, r, z, p, rz, k, rnorm = jax.lax.while_loop(cond, body, state)

@@ -36,11 +36,15 @@ def _givens(a, b):
 
 
 def gmres(op, b, x0, *, M=None, m=20, atol=1e-6, rtol=1e-6, itmax=0,
-          flexible=False):
+          flexible=False, psum_axis=None):
     """Solve op(x) = b with restarted (F)GMRES(m).
 
     op: callable x -> A x.
     M: preconditioner callable r -> M^{-1} r (left unless flexible).
+    psum_axis: when running inside shard_map over a device mesh axis,
+    vectors are shard-local; Gram-Schmidt projections and norms become
+    local partials + psum (distributed FGMRES); the Hessenberg/Givens
+    scalars stay replicated across shards.
     Returns (x, SolveStats).
     """
     n = b.shape[0]
@@ -50,18 +54,24 @@ def gmres(op, b, x0, *, M=None, m=20, atol=1e-6, rtol=1e-6, itmax=0,
     if M is None:
         M = lambda r: r
 
+    if psum_axis is None:
+        _reduce = lambda x: x
+    else:
+        _reduce = lambda x: jax.lax.psum(x, psum_axis)
+    _norm = lambda v: jnp.sqrt(_reduce(jnp.vdot(v, v)))
+
     def pre_resid(x):
         r = b - op(x)
         return M(r) if not flexible else r
 
     r0 = pre_resid(x0)
-    beta0 = jnp.linalg.norm(r0)
+    beta0 = _norm(r0)
     tol = atol + rtol * beta0
 
     def cycle(x):
         """One restart cycle; returns (x_new, resid, inner_iters)."""
         r = pre_resid(x)
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r)
         V = jnp.zeros((m + 1, n), dt).at[0].set(r / jnp.where(beta == 0, 1.0, beta))
         Z = jnp.zeros((m, n), dt) if flexible else None
         R = jnp.zeros((m, m), dt)  # upper-triangular factor, columns
@@ -83,12 +93,12 @@ def gmres(op, b, x0, *, M=None, m=20, atol=1e-6, rtol=1e-6, itmax=0,
             else:
                 w = M(op(vj))
             # CGS2: rows of V beyond j are zero, so full products are safe
-            h1 = V @ w
+            h1 = _reduce(V @ w)
             w = w - V.T @ h1
-            h2 = V @ w
+            h2 = _reduce(V @ w)
             w = w - V.T @ h2
             h = h1 + h2
-            hnorm = jnp.linalg.norm(w)
+            hnorm = _norm(w)
             h = h.at[j + 1].set(hnorm)
             V = V.at[j + 1].set(w / jnp.where(hnorm == 0, 1.0, hnorm))
 
