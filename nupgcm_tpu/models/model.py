@@ -21,6 +21,7 @@ departures, all TPU-motivated:
 
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -967,6 +968,37 @@ class PGModel:
         u = u_flat.reshape(-1, 3)
         return u, p, stats
 
+    def solve_inversion(self, y_full, x0=None):
+        """Solve the saddle system A x = y for an arbitrary full-length
+        rhs over the combined (u, p) dof vector — the manufactured-
+        solution / diagnostic entry (reference
+        scratch/convergence.jl constructed_problem_rhs +
+        solve_constructed_problem!). Dirichlet dofs take their BC
+        values; the returned pressure is zero-mean projected.
+
+        Returns (u (n_nodes, 3), p (n_p,), stats).
+        """
+        c = self.const
+        ops = self.ops
+        Amat = self._inv_matrix(ops)
+        A = MaskedOperator(Amat, c["free_inv"])
+        y_full = jnp.asarray(y_full, self.dtype)
+        xd = c["xdiri_inv"] * (1.0 - c["free_inv"])
+        y = jnp.where(
+            c["free_inv"].astype(bool),
+            y_full - Amat.matvec(xd),
+            c["xdiri_inv"],
+        )
+        M, flexible = self._make_inv_precond(ops)
+        if x0 is None:
+            x0 = jnp.zeros_like(y)
+        x, stats = gmres(A, y, x0, M=M, flexible=flexible, **self.inv_opts)
+        n_u = self.fe.spaces.n_u
+        u, p = x[:n_u].reshape(-1, 3), x[n_u:]
+        pw = ops["p_volw"]
+        p = p - jnp.vdot(pw, p) / jnp.sum(pw)
+        return u, p, stats
+
     def _evolve_pure(self, ops, state: State, r=None):
         """Buoyancy step (reference evolve!, src/model.jl:213-285).
 
@@ -1091,13 +1123,23 @@ class PGModel:
                 ops = jax.lax.cond(
                     do, lambda o: self._eddy_rebuild(o, new_state), lambda o: o, ops
                 )
+            freeb = self.const["free_b"].astype(bool)
+            neg_inf = jnp.asarray(-jnp.inf, b_new.dtype)
+            pos_inf = jnp.asarray(jnp.inf, b_new.dtype)
+            u_max = jnp.abs(u_new).max()
             aux = {
                 "evo_iters": evo_stats.iterations,
                 "evo_res": evo_stats.residual,
                 "inv_iters": inv_stats.iterations,
                 "inv_res": inv_stats.residual,
-                "u_max": jnp.abs(u_new).max(),
+                "u_max": u_max,
                 "b_max": jnp.abs(b_new).max(),
+                # progress-line diagnostics (reference src/model.jl:172-192)
+                "b_free_min": jnp.where(freeb, b_new, pos_inf).min(),
+                "b_free_max": jnp.where(freeb, b_new, neg_inf).max(),
+                "db_dt_max": jnp.where(freeb, jnp.abs(b_new - state.b), 0.0).max()
+                / dt_,
+                "cfl_dt": self.const["h_cells"].min() / jnp.maximum(u_max, 1e-30),
             }
             return ops, new_state, aux
 
@@ -1174,19 +1216,32 @@ class PGModel:
         n_info: int = 10,
         n_save: Optional[int] = None,
         save_callback: Optional[Callable] = None,
+        n_plot: Optional[int] = None,
+        plot_callback: Optional[Callable] = None,
         max_steps: Optional[int] = None,
         steps_per_block: int = 1,
         log: Callable = print,
     ) -> State:
         """Advance until t >= t_stop (reference run!, src/model.jl:90-211).
 
+        The progress block matches the reference's field-for-field
+        (src/model.jl:172-192): t/t_stop, dt, elapsed, per-step
+        duration, estimated time remaining, |u|max, CFL-dt estimate,
+        free-b range, |db/dt|max, plus solver iteration counts.
+
         ``steps_per_block > 1`` dispatches blocks of steps as one
         lax.scan (production mode: one host round-trip per block);
         logging/saving cadence then applies at block granularity.
         """
+        from ..utils.misc import hrs_mins_secs
+
+        def hms(sec):
+            return "%02d:%02d:%02d" % hrs_mins_secs(sec)
+
         t_stop = float(self.ts.t_stop)
-        t0 = time.time()
+        t0 = t_last_info = time.time()
         i = int(state.step)
+        i0 = i
         while float(state.t) < t_stop:
             if steps_per_block > 1:
                 self.ops, state, auxs = self.multi_step_jit(
@@ -1204,13 +1259,34 @@ class PGModel:
                     f"Blow-up detected at step {i}: |u|max={u_max:.3e} |b|max={b_max:.3e}"
                 )
             if n_info and i % n_info == 0:
-                log(
-                    f"t = {float(state.t):.3e}/{t_stop:.3e} (i={i}, dt={float(state.dt):.3e}) "
-                    f"elapsed={time.time() - t0:.1f}s |u|max={u_max:.3e} "
-                    f"evo_it={int(aux['evo_iters'])} inv_it={int(aux['inv_iters'])}"
+                t1 = time.time()
+                dt_ = float(state.dt)
+                msg = (
+                    f"t = {float(state.t):.3e}/{t_stop:.3e} (i = {i}, dt = {dt_:.3e})\n"
+                    f"time elapsed: {hms(t1 - t0)}\n"
                 )
+                if i - i0 > n_info:  # skip ETR first time (contains compile)
+                    t_step = (t1 - t_last_info) / n_info
+                    steps_left = max(0.0, (t_stop - float(state.t)) // max(dt_, 1e-30))
+                    msg += (
+                        f"timestep duration ~ {t_step:.3e} s\n"
+                        f"estimated time remaining: {hms(t_step * steps_left)}\n"
+                    )
+                msg += (
+                    f"|u|max = {u_max:.3e}, CFL dt ~ {float(aux['cfl_dt']):.3e}\n"
+                    f"{float(aux['b_free_min']):.3e} <= b_free <= "
+                    f"{float(aux['b_free_max']):.3e}, "
+                    f"|db/dt|max = {float(aux['db_dt_max']):.3e}\n"
+                    f"evo_it = {int(aux['evo_iters'])}, inv_it = {int(aux['inv_iters'])}"
+                )
+                log(msg)
+                t_last_info = t1
+                sys.stdout.flush()
+                sys.stderr.flush()
             if n_save and i % n_save == 0 and save_callback is not None:
                 save_callback(self, state, i)
+            if n_plot and i % n_plot == 0 and plot_callback is not None:
+                plot_callback(self, state, i)
             if max_steps is not None and i >= int(max_steps):
                 break
         return state
