@@ -1,16 +1,34 @@
-"""Benchmark: PG inversion solve + timestep throughput on one chip.
+"""Benchmark suite: PG inversion + timestep throughput on one chip.
 
-Headline metric: wall-clock seconds for one converged inversion GMRES
-solve (atol=rtol=1e-6, matching reference Krylov settings) on a 3D
-bowl with ~16k inversion DoFs -- directly comparable to the
-reference's logged solve at 15,946 DoFs: 5.97 s with its GPU-default
-1/h^3 diagonal preconditioner, 31.2 s with its block-LU experiment
-(reference scratch/inversion_log.md:143-157, BASELINE.md).
+Sections (each optional-failure-isolated; diagnostics on stderr):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Extra diagnostics go to stderr.
+  A. 16.5k-DoF inversion solve -- directly comparable to the
+     reference's logged 5.97 s at 15,946 DoFs (its GPU-default 1/h^3
+     diagonal preconditioner; reference scratch/inversion_log.md:143-157,
+     BASELINE.md).  Headline metric.
+  B. bowl3D h=0.08 (the reference's largest shipped mesh,
+     reference meshes/bowl3D_8.000000e-02_5.000000e-01.msh, ~186k
+     inversion DoFs): converged inversion seconds + end-to-end BDF2
+     steps/s.
+  C. ~1M-DoF bowl3D: SaddleOperator.matvec DOF/s per chip and the
+     achieved-vs-peak HBM bandwidth roofline (the matvec moves ~4.5KB
+     of element tensors per cell and does ~2 flops/byte -- it is
+     bandwidth-bound by ~50x, so the roofline is the bandwidth one);
+     plus full-step steps/s.
+  D. TPU-dtype validation: 50-step bowl2D mixing in f32 under REAL
+     TPU matmul semantics (the model default raises
+     jax_default_matmul_precision to float32 -- models/model.py),
+     compared against the committed f64 golden
+     (tests/data/bowl_mixing_2d.npz) in the FE-integral norm.
+     SURVEY §7(g): the 1e-3 bar asserted on the live chip.
+  E. matmul-precision cost: the same hot matvec under the bf16-default
+     vs the float32 policy, quantifying what the accuracy policy buys.
+
+Prints ONE JSON line: headline {"metric", "value", "unit",
+"vs_baseline"} plus the section metrics as extra keys.
 """
 
+import gc
 import json
 import sys
 import time
@@ -18,21 +36,62 @@ import time
 import numpy as np
 
 BASELINE_SECONDS = 5.97  # reference inversion @ 15,946 DoF (BASELINE.md)
+REF_MESH_B = "/root/reference/meshes/bowl3D_8.000000e-02_5.000000e-01.msh"
+# v5e peak HBM bandwidth (public spec: 819 GB/s per chip); other chips
+# can be mapped here as needed
+PEAK_HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0,
+                 "v5p": 2765.0, "v6e": 1640.0}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(dtype_str="float32"):
+def peak_bandwidth():
     import jax
-    import jax.numpy as jnp
 
-    dtype = jnp.float32 if dtype_str == "float32" else jnp.float64
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in PEAK_HBM_GBPS.items():
+        if k in kind:
+            return v
+    log(f"unknown device kind {kind!r}: assuming v5e 819 GB/s")
+    return 819.0
+
+
+def mixing_setup(mesh, dt_factor=1e-4, **model_kw):
     import nupgcm_tpu as npg
 
-    # reference inversion-log experiment config: alpha=1/2, eps=1/2,
-    # f = 1 + y/2 (scratch/inversion_log.md:90-101)
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    params = npg.Parameters(
+        eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+        f=lambda x: 1.0 + 0.5 * x[1],
+        H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2),
+    )
+    kap = lambda x: 1e-2 + np.exp(
+        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
+    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    spaces = npg.Spaces(
+        mesh,
+        u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True),
+                      (False, False, True)],
+        b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0],
+    )
+    fe = npg.FEData(mesh, spaces)
+    dt = dt_factor * mu / (alpha * eps) ** 2
+    ts = npg.BDF2(t_start=0, t_stop=1.0, dt=dt)
+    model = npg.PGModel(fe, params, forc, ts, **model_kw)
+    return model
+
+
+def bench_16k():
+    """Section A: the reference-comparable 16k-DoF inversion."""
+    import jax
+
+    import nupgcm_tpu as npg
+
     eps, alpha, mu = 0.5, 0.5, 1.0
     params = npg.Parameters(
         eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
@@ -40,86 +99,292 @@ def build(dtype_str="float32"):
         H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2),
     )
     kap = lambda x: 1e-2 + np.exp(
-        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha)
-    )
-    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0, tau_y=0.0,
-                        b_surface_bc=npg.SurfaceDirichletBC(0.0))
-    # h tuned so free inversion DoFs ~ 16.5k (matches the reference's
-    # 15,946-DoF bowl3D inversion-log experiment scale)
+        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
+    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
     mesh = npg.generators.bowl3D(0.14, alpha, nz=5)
     spaces = npg.Spaces(
         mesh,
         u_diri_tags=["bottom", "coastline", "surface"],
         u_diri_vals=[(0, 0, 0)] * 3,
-        u_diri_masks=[(True, True, True), (True, True, True), (False, False, True)],
+        u_diri_masks=[(True, True, True), (True, True, True),
+                      (False, False, True)],
         b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0],
     )
     fe = npg.FEData(mesh, spaces)
     n_free = int(np.sum(~spaces.u_bc.mask)) + spaces.n_p
-    log(f"mesh: {mesh.summary()}")
-    log(f"{fe.summary()}; free inversion dofs = {n_free}")
+    log(f"[A] {fe.summary()}; free inversion dofs = {n_free}")
     dt = 1e-4 * mu / (alpha * eps) ** 2
     ts = npg.BDF2(t_start=0, t_stop=1.0, dt=dt)
-    model = npg.PGModel(fe, params, forc, ts, dtype=dtype,
+    model = npg.PGModel(fe, params, forc, ts,
                         inv_atol=1e-6, inv_rtol=1e-6, inv_itmax=2000)
-    return model, n_free
+    bfun = lambda amp: (lambda x: amp * np.exp(
+        -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05))
+
+    state = model.set_b(model.rest_state(), bfun(0.1))
+    t0 = time.time()
+    u, p, aux = model.invert_jit(model.ops, state)
+    jax.block_until_ready(u)
+    log(f"[A] invert compile+first run: {time.time() - t0:.2f}s")
+
+    times = []
+    for rep in range(4):
+        st = model.set_b(model.rest_state(), bfun(0.1 * (1.0 + 0.01 * rep)))
+        t0 = time.time()
+        u, p, aux = model.invert_jit(model.ops, st)
+        jax.block_until_ready(u)
+        times.append(time.time() - t0)
+        log(f"[A] rep {rep}: solve {times[-1]:.3f}s "
+            f"iters={int(aux['inv_iters'])} res={float(aux['inv_res']):.3e}")
+    t_solve = float(np.median(times[1:]))
+
+    t0 = time.time()
+    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
+    jax.block_until_ready(st.b)
+    t0 = time.time()
+    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
+    jax.block_until_ready(st.b)
+    sps = 10 / (time.time() - t0)
+    log(f"[A] steady {sps:.2f} steps/s")
+    return {"inv_seconds_16k": t_solve, "steps_per_s_16k": round(sps, 2)}
+
+
+def bench_bowl3d_h008():
+    """Section B: the reference's largest shipped mesh (~186k DoF)."""
+    import os
+
+    import jax
+
+    import nupgcm_tpu as npg
+
+    if os.path.exists(REF_MESH_B):
+        mesh = npg.read_msh(REF_MESH_B)
+        src = "reference mesh h=0.08"
+    else:
+        mesh = npg.generators.bowl3D(0.08, 0.5, nz=9)
+        src = "generated bowl3D h=0.08"
+    t0 = time.time()
+    model = mixing_setup(mesh)
+    log(f"[B] {src}: {model.fe.summary()}; build {time.time() - t0:.1f}s")
+    state = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(
+        -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05))
+
+    t0 = time.time()
+    u, p, aux = model.invert_jit(model.ops, state)
+    jax.block_until_ready(u)
+    log(f"[B] invert compile+run: {time.time() - t0:.1f}s "
+        f"iters={int(aux['inv_iters'])}")
+    t0 = time.time()
+    u, p, aux = model.invert_jit(model.ops, state)
+    jax.block_until_ready(u)
+    t_solve = time.time() - t0
+    log(f"[B] inversion solve: {t_solve:.3f}s iters={int(aux['inv_iters'])} "
+        f"res={float(aux['inv_res']):.3e}")
+
+    t0 = time.time()
+    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
+    jax.block_until_ready(st.b)
+    log(f"[B] 10-step compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
+    jax.block_until_ready(st.b)
+    sps = 10 / (time.time() - t0)
+    log(f"[B] steady {sps:.2f} steps/s "
+        f"(evo_it~{int(np.asarray(auxs['evo_iters']).mean())}, "
+        f"inv_it~{int(np.asarray(auxs['inv_iters']).mean())})")
+    n = model.fe.n_inv
+    del model
+    gc.collect()
+    return {"n_dof_bowl3d_h008": n,
+            "inv_seconds_bowl3d_h008": round(t_solve, 3),
+            "steps_per_s_bowl3d_h008": round(sps, 3)}
+
+
+def bench_1m_roofline():
+    """Section C: ~1M-DoF matvec DOF/s + HBM bandwidth roofline."""
+    import jax
+    import jax.numpy as jnp
+
+    import nupgcm_tpu as npg
+    from nupgcm_tpu.ops.sparse import MaskedOperator
+
+    t0 = time.time()
+    mesh = npg.generators.bowl3D(0.033, 0.5, nz=12)
+    log(f"[C] mesh gen {time.time() - t0:.1f}s: {mesh.summary()}")
+    t0 = time.time()
+    model = mixing_setup(mesh)
+    fe = model.fe
+    N = fe.n_inv
+    log(f"[C] build {time.time() - t0:.1f}s: {fe.summary()}")
+
+    Amat = model._inv_matrix(model.ops)
+    A = MaskedOperator(Amat, model.const["free_inv"])
+
+    reps = 20
+
+    @jax.jit
+    def mv_loop(x):
+        def body(i, x):
+            y = A(x)
+            return y / jnp.linalg.norm(y)
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(N),
+                     model.dtype)
+    t0 = time.time()
+    jax.block_until_ready(mv_loop(x0))
+    log(f"[C] matvec compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    jax.block_until_ready(mv_loop(x0))
+    t_app = (time.time() - t0) / reps
+    dof_per_s = N / t_app
+
+    # bytes per application: element tensors (read once) + gathered /
+    # scattered element vectors + the dof vectors; float32
+    nc = model.ops["A_uu_e"].shape[0]
+    nlu3 = model.ops["A_uu_e"].shape[1]
+    nlp = model.ops["A_up_e"].shape[2]
+    fbytes = np.dtype(np.float32).itemsize
+    elem_bytes = nc * (nlu3 * nlu3 + 2 * nlu3 * nlp) * fbytes
+    vec_bytes = nc * (2 * (nlu3 + nlp)) * fbytes + 3 * N * fbytes
+    idx_bytes = nc * (nlu3 // 3 + nlp) * 4
+    total_bytes = elem_bytes + vec_bytes + idx_bytes
+    gbps = total_bytes / t_app / 1e9
+    peak = peak_bandwidth()
+    frac = gbps / peak
+    log(f"[C] matvec {t_app * 1e3:.2f} ms, {dof_per_s / 1e6:.1f}M DOF/s, "
+        f"{gbps:.0f} GB/s achieved = {100 * frac:.0f}% of {peak:.0f} GB/s peak "
+        f"(bytes/app: elem {elem_bytes / 1e6:.0f}MB + vec {vec_bytes / 1e6:.0f}MB)")
+
+    # full-step throughput at this scale
+    state = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(
+        -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05))
+    t0 = time.time()
+    ops, st, auxs = model.multi_step_jit(model.ops, state, 5)
+    jax.block_until_ready(st.b)
+    log(f"[C] 5-step compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    ops, st, auxs = model.multi_step_jit(model.ops, state, 5)
+    jax.block_until_ready(st.b)
+    sps = 5 / (time.time() - t0)
+    log(f"[C] steady {sps:.3f} steps/s at {N} DoF "
+        f"(evo_it~{int(np.asarray(auxs['evo_iters']).mean())}, "
+        f"inv_it~{int(np.asarray(auxs['inv_iters']).mean())})")
+
+    # Section E: the same matvec under the bf16 matmul default --
+    # quantifies the cost of the float32 accuracy policy
+    res = {}
+    with jax.default_matmul_precision("bfloat16"):
+        @jax.jit
+        def mv_loop_bf16(x):
+            def body(i, x):
+                y = A(x)
+                return y / jnp.linalg.norm(y)
+
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        jax.block_until_ready(mv_loop_bf16(x0))
+        t0 = time.time()
+        jax.block_until_ready(mv_loop_bf16(x0))
+        t_bf16 = (time.time() - t0) / reps
+    log(f"[E] matvec bf16-matmul {t_bf16 * 1e3:.2f} ms vs float32-policy "
+        f"{t_app * 1e3:.2f} ms ({t_app / t_bf16:.2f}x cost of accuracy)")
+
+    res.update({
+        "n_dof_1m": N,
+        "matvec_ms_1m": round(t_app * 1e3, 3),
+        "matvec_dof_per_s_1m": round(dof_per_s, 0),
+        "matvec_gbps_1m": round(gbps, 1),
+        "matvec_roofline_frac": round(frac, 3),
+        "steps_per_s_1m": round(sps, 3),
+        "matvec_ms_1m_bf16": round(t_bf16 * 1e3, 3),
+    })
+    del model
+    gc.collect()
+    return res
+
+
+def bench_tpu_golden():
+    """Section D: 50-step bowl2D mixing f32 on the live chip vs the
+    committed golden, FE-integral rel-L2 (the reference bar: 1e-3)."""
+    import os
+    import pathlib
+
+    import jax
+
+    import nupgcm_tpu as npg
+
+    golden = pathlib.Path(__file__).parent / "tests" / "data" / "bowl_mixing_2d.npz"
+    if not golden.exists():
+        log("[D] no committed golden; skipping")
+        return {}
+    mesh = npg.generators.bowl2D(0.1, 0.5)
+    model = mixing_setup(mesh)
+    state = model.run(model.rest_state(), n_info=0, max_steps=50,
+                      steps_per_block=10)
+    fe = model.fe
+    us, bs = fe.spaces.u_space, fe.spaces.b_space
+    ref = np.load(golden)
+    ref_b = bs.from_original_order(ref["b"])
+    uref_can = ref["u"].reshape(-1, 3)
+    ref_u = np.stack([us.from_original_order(uref_can[:, c])
+                      for c in range(3)], axis=1)
+
+    import jax.numpy as jnp
+
+    wq = jnp.asarray(np.asarray(fe.geom.wq, np.float64))
+
+    def norm2(v, cd, phi):
+        fq = jnp.einsum("qi,ci->cq", jnp.asarray(np.asarray(phi, np.float64)),
+                        jnp.asarray(np.asarray(v, np.float64))[jnp.asarray(cd)])
+        return float(jnp.einsum("cq,cq->", wq, fq ** 2))
+
+    b = np.asarray(state.b)
+    u = np.asarray(state.u)
+    eb = norm2(b - ref_b, fe.cd_b, fe.tab_b.phi) / norm2(ref_b, fe.cd_b, fe.tab_b.phi)
+    eu = (sum(norm2(u[:, c] - ref_u[:, c], fe.cd_u, fe.tab_u.phi) for c in range(3))
+          / sum(norm2(ref_u[:, c], fe.cd_u, fe.tab_u.phi) for c in range(3)))
+    ok = eu < 1e-3 and eb < 1e-3
+    log(f"[D] TPU f32 50-step golden: rel-L2 u={eu:.3e} b={eb:.3e} "
+        f"({'PASS' if ok else 'FAIL'} @ 1e-3, "
+        f"matmul_precision={model.matmul_precision})")
+    return {"tpu_f32_golden_rel_l2_u": float(f"{eu:.3e}"),
+            "tpu_f32_golden_rel_l2_b": float(f"{eb:.3e}"),
+            "tpu_f32_golden_pass": bool(ok)}
 
 
 def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    model, n_free = build()
-    import jax.numpy as jnp
+    extras = {}
+    t_solve = None
+    for name, fn in [("A", bench_16k), ("D", bench_tpu_golden),
+                     ("B", bench_bowl3d_h008), ("C", bench_1m_roofline)]:
+        try:
+            t0 = time.time()
+            out = fn()
+            extras.update(out)
+            if name == "A":
+                t_solve = out["inv_seconds_16k"]
+            log(f"[{name}] section done in {time.time() - t0:.0f}s")
+        except Exception as e:  # keep the JSON line coming
+            import traceback
 
-    state = model.rest_state()
-    # representative buoyancy: short spin-up so b has realistic structure
-    state = model.set_b(state, lambda x: 0.1 * np.exp(
-        -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05
-    ))
+            log(f"[{name}] FAILED: {e}")
+            traceback.print_exc(file=sys.stderr)
+        gc.collect()
 
-    t0 = time.time()
-    state2 = model.invert(state)
-    jax.block_until_ready(state2.u)
-    log(f"invert compile+first run: {time.time() - t0:.2f}s")
-
-    # timed converged solves from a cold initial guess; each rep uses a
-    # slightly different b so no execution can be reused
-    times = []
-    for rep in range(4):
-        amp = 0.1 * (1.0 + 0.01 * rep)
-        st = model.set_b(model.rest_state(), lambda x: amp * np.exp(
-            -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05
-        ))
-        t0 = time.time()
-        u, p, aux = model.invert_jit(model.ops, st)
-        jax.block_until_ready(u)
-        dt_solve = time.time() - t0
-        times.append(dt_solve)
-        log(f"rep {rep}: solve {dt_solve:.3f}s iters={int(aux['inv_iters'])} "
-            f"res={float(aux['inv_res']):.3e}")
-    t_solve = float(np.median(times[1:]))
-
-    # timestep throughput (secondary, stderr only)
-    t0 = time.time()
-    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
-    jax.block_until_ready(st.b)
-    t_compile_steps = time.time() - t0
-    t0 = time.time()
-    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
-    jax.block_until_ready(st.b)
-    steps_per_s = 10 / (time.time() - t0)
-    log(f"10-step scan: compile+run {t_compile_steps:.1f}s, steady "
-        f"{steps_per_s:.2f} steps/s "
-        f"(evo_it~{int(np.asarray(auxs['evo_iters']).mean())}, "
-        f"inv_it~{int(np.asarray(auxs['inv_iters']).mean())})")
-
-    print(json.dumps({
+    headline = {
         "metric": "inversion_solve_seconds_16k_dof",
-        "value": round(t_solve, 4),
+        "value": round(t_solve, 4) if t_solve is not None else None,
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / t_solve, 2),
-    }))
+        "vs_baseline": round(BASELINE_SECONDS / t_solve, 2)
+        if t_solve else None,
+    }
+    headline.update(extras)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

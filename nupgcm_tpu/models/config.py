@@ -34,6 +34,13 @@ class Parameters:
     f: Callable
     H: Callable
 
+    def __post_init__(self):
+        # coerce to plain python floats: a NumPy float64 scalar (e.g.
+        # eps=np.sqrt(1e-1)) is NOT weakly typed under JAX and would
+        # silently promote every f32 expression it touches to f64
+        for name in ("eps", "alpha", "mu_rho", "N2"):
+            object.__setattr__(self, name, float(getattr(self, name)))
+
     @property
     def a2e2(self) -> float:
         return self.alpha ** 2 * self.eps ** 2

@@ -45,8 +45,28 @@ class Spaces:
         self.p_space = ScalarSpace(mesh, u_order - 1)
         self.b_space = ScalarSpace(mesh, b_order)
         if rcm:
-            for s in (self.u_space, self.p_space, self.b_space):
-                s.renumber(s.rcm_permutation())
+            # One RCM traversal (on the u-space dof graph) induces ALL
+            # three orderings: u keeps its own RCM; p (vertices) takes
+            # the vertices in u-RCM order; b shares u's graph when the
+            # orders match (identical RCM) else the induced vertex
+            # order.  Alignment matters for domain decomposition
+            # (parallel/dd.py): contiguous dof blocks of every space
+            # then own the SAME mesh region, so halo depths stay O(1)
+            # chunks in all spaces (independent per-space RCM gave the
+            # pressure space near-global halos).
+            u_perm = self.u_space.rcm_permutation()
+            self.u_space.renumber(u_perm)
+            vert_order = u_perm[u_perm < mesh.n_vertices]
+
+            def induced(space):
+                if space.order == self.u_space.order:
+                    return u_perm.copy()
+                if space.order == 1:
+                    return vert_order.copy()
+                return space.rcm_permutation()
+
+            self.p_space.renumber(induced(self.p_space))
+            self.b_space.renumber(induced(self.b_space))
 
         if u_diri_vals is None:
             u_diri_vals = [(0.0, 0.0, 0.0)] * len(u_diri_tags)

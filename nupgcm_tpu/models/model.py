@@ -110,6 +110,7 @@ class PGModel:
         coarse_dense_max: int = 12288,
         saddle_coarse_inner: Optional[int] = None,
         assembly_chunk: int = 8192,
+        matmul_precision: Optional[str] = "float32",
     ):
         self.fe = fe
         self.params = params
@@ -118,6 +119,16 @@ class PGModel:
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
+        # TPU matmul precision policy (SURVEY §7(g)): on TPU, f32
+        # einsum/matmul default to bfloat16 multiply passes.  The FE
+        # element contractions and Krylov basis products need true f32
+        # accumulation to hold the 1e-3 golden bar, so the default
+        # raises the process-wide matmul precision to full float32
+        # (3-pass bf16 on the MXU).  Pass matmul_precision=None to
+        # keep the JAX default (e.g. to measure the bf16 speed).
+        if matmul_precision is not None:
+            jax.config.update("jax_default_matmul_precision", matmul_precision)
+        self.matmul_precision = matmul_precision
         self.inv_opts = dict(atol=inv_atol, rtol=inv_rtol, itmax=inv_itmax, m=inv_memory)
         self.evo_opts = dict(atol=evo_atol, rtol=evo_rtol, itmax=evo_itmax)
         self.precond_kind = preconditioner

@@ -27,11 +27,17 @@ Design
   saddle FGMRES with the block-triangular Chebyshev/inner-GMRES
   preconditioner, zero-mean projection, CFL, diagnostics) runs inside
   one ``shard_map`` -- state never materializes on a single device.
-* The coarse corrections (dense/iterative saddle coarse, u two-grid)
-  are not used in the DD step (their restriction crosses shard
-  boundaries irregularly); the u-block smoother budget is raised
-  instead.  The coarse spaces are small by design, so a replicated
-  coarse level is the planned extension, not a blocker.
+* The saddle-coarse correction (the flagship preconditioner,
+  solvers/preconditioners.py SaddleCoarseCorrection) runs with
+  REPLICATED coarse vectors: the coarse space is 4*n_vert by
+  construction, so restriction is a local segment-sum + one psum,
+  the coarse solve is either the replicated dense inverse (one MXU
+  matvec per shard) or an inner FGMRES whose coarse matvecs use each
+  shard's own cells + one psum (coarse element tensors stay SHARDED
+  -- no per-shard duplication), and prolongation is purely local.
+  This keeps the DD outer iteration count at the single-device level
+  (vs ~10x more with block smoothing alone).  The u-block two-grid
+  (redundant once the saddle coarse is on) is not supported.
 """
 
 from __future__ import annotations
@@ -81,14 +87,24 @@ class DDModel:
         self.model = model
         self.S = int(n_shards)
         self.mesh = mesh if mesh is not None else make_device_mesh(n_shards)
-        fe = model.fe
-        sp = fe.spaces
-        if sp.u_space.mesh.periodic_pairs is not None and len(
-            sp.u_space.mesh.periodic_pairs
-        ):
-            raise NotImplementedError("DD step: periodic meshes not yet supported")
-        if model.forcings.eddy_param.is_on:
-            raise NotImplementedError("DD step: eddy rebuild not yet supported")
+        if self.mesh.devices.size != self.S:
+            raise ValueError(
+                f"DDModel: n_shards={self.S} but the device mesh has "
+                f"{self.mesh.devices.size} device(s) "
+                f"(jax.devices()={len(jax.devices())}); on CPU set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={self.S} "
+                f"before importing jax")
+        if model.twogrid:
+            raise NotImplementedError(
+                "DD step: u-block two-grid not supported (use the saddle "
+                "coarse correction, which subsumes it)"
+            )
+        # periodic meshes need no special handling: cell dof tables
+        # already map slaves to masters (fem/spaces.py), the RCM graph
+        # includes the identification so the ordering stays band-
+        # limited on the torus, and slave dofs are pinned by the
+        # active masks like any Dirichlet dof.
+        self.eddy_on = bool(model.forcings.eddy_param.is_on)
 
         self._build_partition()
         self._build_tables()
@@ -216,10 +232,22 @@ class DDModel:
         t["gperm_u"], t["seg_u"] = gperm_u, seg_u
         t["gperm_p"], t["seg_p"] = gperm_p, seg_p
         t["gperm_b"], t["seg_b"] = gperm_b, seg_b
-        # element tensors (reordered to shard batches)
-        for k in ("A_uu_e", "A_up_e", "A_pu_e", "visc_e", "Mp_e", "B_e",
-                  "M_e", "Kh_e", "Kv_e"):
+        # element tensors (reordered to shard batches); the inversion
+        # blocks live in the scan-carried state instead when the eddy
+        # parameterization rebuilds them in-step
+        elem_keys = ["visc_e", "Mp_e", "B_e", "M_e", "Kh_e", "Kv_e"]
+        if not self.eddy_on:
+            elem_keys += ["A_uu_e", "A_up_e", "A_pu_e"]
+        for k in elem_keys:
             t[k] = np.asarray(self._reorder_cells(np.asarray(ops[k])), dt)
+        self._eddy_init = None
+        if self.eddy_on:
+            self._eddy_init = {
+                k: np.asarray(self._reorder_cells(np.asarray(ops[k])), dt)
+                for k in ("A_uu_e", "A_up_e", "A_pu_e")
+            }
+            t["f_q"] = np.asarray(self._reorder_cells(c["f_q"]), dt)
+            t["f_eddy_q"] = np.asarray(self._reorder_cells(c["f_eddy_q"]), dt)
         # geometry + coefficients for the in-step assemblies
         t["wq"] = np.asarray(self._reorder_cells(c["wq"]), dt)
         t["invJT"] = np.asarray(self._reorder_cells(c["invJT"]), dt)
@@ -255,7 +283,56 @@ class DDModel:
         t["mp_dinv"] = vec_dd(1.0 / np.asarray(mp_d), pp_)
         self.lmax_u = float(ops["lmax_u"])
         self.lmax_p = float(ops["lmax_p"])
+
+        # ---- saddle-coarse correction tables -------------------------
+        # Coarse vectors (4 n_vert) are REPLICATED; restriction tables
+        # are sharded by owned fine u nodes, coarse element tensors (if
+        # the iterative coarse path is active) are sharded by cell.
+        tr = {}  # replicated tables (P() specs)
+        self.has_saddle_coarse = bool(m.saddle_coarse) and (
+            "saddle_coarse_inv" in ops or "sc_uu" in ops
+        )
+        if self.has_saddle_coarse:
+            nv = sp.p_space.ndof
+            tr["tg_coarse_free"] = np.asarray(c["tg_coarse_free"], dt)
+            tr["free_p_c"] = np.asarray(c["free_inv"][n_u:], dt)
+            # per-shard slices of the P1 c P2 inclusion (fine u node ->
+            # two parent vertices in p numbering); pad nodes -> weight 0
+            tp = np.asarray(c["tg_parents"])
+            tw = np.asarray(c["tg_weights"], dt)
+            nn = sp.u_space.ndof
+            par = np.zeros((S, pu_.chunk, 2), np.int32)
+            wts = np.zeros((S, pu_.chunk, 2), dt)
+            for s in range(S):
+                lo, hi = s * pu_.chunk, min((s + 1) * pu_.chunk, nn)
+                if hi > lo:
+                    par[s, : hi - lo] = tp[lo:hi]
+                    wts[s, : hi - lo] = tw[lo:hi]
+            t["tg_parents_dd"] = par
+            t["tg_weights_dd"] = wts
+            if "saddle_coarse_inv" in ops:
+                tr["sc_inv"] = np.asarray(ops["saddle_coarse_inv"], dt)
+            else:
+                # iterative coarse path: coarse element tensors sharded
+                # by cell; coarse matvecs gather from the replicated
+                # coarse vector by GLOBAL vertex id (no halo exchange)
+                # and scatter via a sorted global-id plan + one psum
+                for k in ("sc_uu", "sc_up", "sc_pu", "sc_pp", "sc_visc_e"):
+                    t[k] = np.asarray(self._reorder_cells(np.asarray(ops[k])), dt)
+                cdg = np.asarray(fe.cd_p)[self.cell_order]
+                cdg[~self.cell_valid] = 0
+                t["cd_pg"] = cdg.astype(np.int32)
+                t["gperm_pg"], t["seg_pg"] = self._plan(cdg.reshape(S, -1), nv)
+                tr["sc_pin"] = np.asarray(ops["sc_pin"], dt)
+                self.sc_sigma = float(ops["sc_sigma"])
+                self.sc_lmax = float(ops["sc_lmax"])
+                cvisc = MaskedOperator(
+                    m._coarse_operator(ops["sc_visc_e"]), c["tg_coarse_free"]
+                )
+                tr["cvisc_dinv"] = np.asarray(1.0 / cvisc.diagonal(), dt)
+                tr["mp_c_dinv"] = np.asarray(1.0 / mp_d, dt)
         self.tables = t
+        self.tables_repl = tr
 
     # ------------------------------------------------------------------
     # state conversion
@@ -271,7 +348,7 @@ class DDModel:
                 self.model.dtype)
             return self._global(padded, P(AXIS))
 
-        return {
+        dd = {
             "u": padv(state.u, pu_, 3),
             "u_prev": padv(state.u_prev, pu_, 3),
             "p": padv(state.p, pp_),
@@ -281,6 +358,11 @@ class DDModel:
             "dt": jnp.asarray(state.dt, self.model.dtype),
             "step": jnp.asarray(state.step, jnp.int32),
         }
+        if self.eddy_on:
+            # state-dependent inversion blocks ride in the scan carry
+            for k, v in self._eddy_init.items():
+                dd[k] = self._global(v, P(AXIS))
+        return dd
 
     def from_dd(self, dd: dict) -> State:
         pu_, pp_, pb_ = self.part_u, self.part_p, self.part_b
@@ -361,12 +443,29 @@ class DDModel:
             return jax.ops.segment_sum(v, seg, num_segments=ext_nodes,
                                        indices_are_sorted=True).reshape(-1)
 
-        def step_kernel(t, sv):
+        has_coarse = self.has_saddle_coarse
+        sc_dense = has_coarse and "sc_inv" in self.tables_repl
+        sc_inner_k = m.saddle_coarse_inner if has_coarse else 0
+        sc_sigma = getattr(self, "sc_sigma", 0.0)
+        sc_lmax = getattr(self, "sc_lmax", 1.0)
+        nlp = np.asarray(fe.cd_p).shape[1]
+        eddy_on = self.eddy_on
+        eddy = m.forcings.eddy_param
+        variable_nu = m.variable_nu
+        phi_p = np.asarray(c["phi_p"], dt_)
+        dphi_u = np.asarray(c["dphi_u"], dt_)
+
+        def step_kernel(t, tr, sv):
             """Per-shard body (inside shard_map).  ``t``: tables with
-            the leading shard axis sliced off; ``sv``: state values."""
+            the leading shard axis sliced off; ``tr``: replicated
+            coarse-level tables; ``sv``: state values."""
             u_loc, p_loc, b_loc = sv["u"], sv["p"], sv["b"]
             up_loc, bp_loc = sv["u_prev"], sv["b_prev"]
             tt, dtv, stp = sv["t"], sv["dt"], sv["step"]
+            if eddy_on:
+                Ae_uu, Ae_up, Ae_pu = sv["A_uu_e"], sv["A_up_e"], sv["A_pu_e"]
+            else:
+                Ae_uu, Ae_up, Ae_pu = t["A_uu_e"], t["A_up_e"], t["A_pu_e"]
 
             psum = lambda x: jax.lax.psum(x, AXIS)
 
@@ -390,9 +489,9 @@ class DDModel:
                 xu_m, xp_m = xu * free_u, xp * free_p
                 xe_u = gath_u(xu_m)
                 xe_p = gath_p(xp_m)
-                yu_e = jnp.einsum("cij,cj->ci", t["A_uu_e"], xe_u)
-                yu_e = yu_e + jnp.einsum("cij,cj->ci", t["A_up_e"], xe_p)
-                yp_e = jnp.einsum("cij,cj->ci", t["A_pu_e"], xe_u)
+                yu_e = jnp.einsum("cij,cj->ci", Ae_uu, xe_u)
+                yu_e = yu_e + jnp.einsum("cij,cj->ci", Ae_up, xe_p)
+                yp_e = jnp.einsum("cij,cj->ci", Ae_pu, xe_u)
                 yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
                                           t["seg_u"], pu_.ext_len), 3)
                 yp = fold_p(scatter(yp_e.reshape(-1), t["gperm_p"],
@@ -412,14 +511,14 @@ class DDModel:
             def ublock_mv(xu):
                 xu_m = xu * free_u
                 xe_u = gath_u(xu_m)
-                yu_e = jnp.einsum("cij,cj->ci", t["A_uu_e"], xe_u)
+                yu_e = jnp.einsum("cij,cj->ci", Ae_uu, xe_u)
                 yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
                                           t["seg_u"], pu_.ext_len), 3)
                 return jnp.where(free_u.astype(bool), yu, xu)
 
             def up_mv(xp):
                 xe_p = gath_p(xp)
-                yu_e = jnp.einsum("cij,cj->ci", t["A_up_e"], xe_p)
+                yu_e = jnp.einsum("cij,cj->ci", Ae_up, xe_p)
                 return free_u * fold_u(
                     scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
                                   t["seg_u"], pu_.ext_len), 3)
@@ -537,11 +636,137 @@ class DDModel:
                 return chebyshev(visc_mv, visc_dinv, ru, iu,
                                  lmax_u / cond_ratio, lmax_u)
 
+            # ---- replicated saddle-coarse correction -----------------
+            # (solvers/preconditioners.py SaddleCoarseCorrection, DD
+            # form: coarse 4*n_vert vectors replicated on every shard)
+            if has_coarse:
+                nv = pp_.n
+                tgf, fpc = tr["tg_coarse_free"], tr["free_p_c"]
+                free_c = jnp.concatenate([tgf, fpc])
+                sidx = jax.lax.axis_index(AXIS)
+
+                def restrict(rv):
+                    ru = rv[: 3 * pu_.chunk].reshape(-1, 3)
+                    contrib = t["tg_weights_dd"][:, :, None] * ru[:, None, :]
+                    rcu = jax.ops.segment_sum(
+                        contrib.reshape(-1, 3),
+                        t["tg_parents_dd"].reshape(-1), num_segments=nv)
+                    rp_full = jax.lax.dynamic_update_slice(
+                        jnp.zeros(S * pp_.chunk, dt_), rv[3 * pu_.chunk:],
+                        (sidx * pp_.chunk,))
+                    rcu, rp_full = jax.lax.psum((rcu, rp_full), AXIS)
+                    return jnp.concatenate(
+                        [rcu.reshape(-1) * tgf, rp_full[:nv]])
+
+                def prolong(zc):
+                    zcu = (zc[: 3 * nv] * tgf).reshape(-1, 3)
+                    z3 = zcu[t["tg_parents_dd"]]  # (chunk, 2, 3)
+                    zu = (t["tg_weights_dd"][:, :, None] * z3).sum(1).reshape(-1)
+                    zp_full = jnp.pad(zc[3 * nv:], (0, S * pp_.chunk - nv))
+                    zp = jax.lax.dynamic_slice(
+                        zp_full, (sidx * pp_.chunk,), (pp_.chunk,))
+                    return jnp.concatenate([zu, zp])
+
+                if sc_dense:
+                    coarse_solve = lambda rc: tr["sc_inv"] @ rc
+                else:
+                    # coarse matvecs: gather replicated coarse vector by
+                    # global vertex id over this shard's own cells,
+                    # scatter locally, psum -> replicated result
+                    def c_scatter3(ye_rows):
+                        s = jax.ops.segment_sum(
+                            ye_rows[t["gperm_pg"]], t["seg_pg"],
+                            num_segments=nv, indices_are_sorted=True)
+                        return jax.lax.psum(s, AXIS).reshape(-1)
+
+                    def c_scatter1(ye_flat):
+                        s = jax.ops.segment_sum(
+                            ye_flat[t["gperm_pg"]], t["seg_pg"],
+                            num_segments=nv, indices_are_sorted=True)
+                        return jax.lax.psum(s, AXIS)
+
+                    def cgath(xc3):  # (3nv,) -> (nc, 3*nlp)
+                        return xc3.reshape(-1, 3)[t["cd_pg"]].reshape(
+                            -1, 3 * nlp)
+
+                    def cmat(xc):
+                        xcu = (xc[: 3 * nv] * tgf)
+                        xcp = xc[3 * nv:] * fpc
+                        xe_u = cgath(xcu)
+                        xe_p = xcp[t["cd_pg"]]
+                        yu_e = (jnp.einsum("cij,cj->ci", t["sc_uu"], xe_u)
+                                + jnp.einsum("cij,cj->ci", t["sc_up"], xe_p))
+                        yp_e = (jnp.einsum("cij,cj->ci", t["sc_pu"], xe_u)
+                                + jnp.einsum("cij,cj->ci", t["sc_pp"], xe_p))
+                        yu = c_scatter3(yu_e.reshape(-1, 3))
+                        yp = c_scatter1(yp_e.reshape(-1))
+                        y = jnp.concatenate([yu, yp])
+                        y = jnp.where(free_c.astype(bool), y, xc)
+                        w = tr["sc_pin"]
+                        return y + sc_sigma * w * jnp.vdot(w, xc)
+
+                    def cvisc_mv(xu):
+                        xu_m = xu * tgf
+                        ye = jnp.einsum("cij,cj->ci", t["sc_visc_e"],
+                                        cgath(xu_m))
+                        y = c_scatter3(ye.reshape(-1, 3))
+                        return jnp.where(tgf.astype(bool), y, xu)
+
+                    def cuu_mv(xu):
+                        xu_m = xu * tgf
+                        ye = jnp.einsum("cij,cj->ci", t["sc_uu"], cgath(xu_m))
+                        y = c_scatter3(ye.reshape(-1, 3))
+                        return jnp.where(tgf.astype(bool), y, xu)
+
+                    def cmp_mv(xp):
+                        # coarse p space == fine p space: reuse the
+                        # sharded Mp_e tensors with the global-id plan
+                        xp_m = xp * fpc
+                        ye = jnp.einsum("cij,cj->ci", t["Mp_e"],
+                                        xp_m[t["cd_pg"]])
+                        y = c_scatter1(ye.reshape(-1))
+                        return jnp.where(fpc.astype(bool), y, xp)
+
+                    def cup_mv(xp):
+                        ye = jnp.einsum("cij,cj->ci", t["sc_up"],
+                                        xp[t["cd_pg"]])
+                        return tgf * c_scatter3(ye.reshape(-1, 3))
+
+                    iu_c = 6 if inner_method == "inner_gmres" else 3
+
+                    def Mc(rv):
+                        rcu, rcp = rv[: 3 * nv], rv[3 * nv:]
+                        zp = chebyshev(cmp_mv, tr["mp_c_dinv"], rcp, 3,
+                                       lmax_p / 4.0, lmax_p)
+                        rcu = rcu - cup_mv(zp)
+                        if inner_method == "inner_gmres":
+                            zu, _ = gmres(cuu_mv, rcu, jnp.zeros_like(rcu),
+                                          M=lambda v: tr["cvisc_dinv"] * v,
+                                          m=iu_c, itmax=iu_c, atol=0.0,
+                                          rtol=1e-8)
+                        else:
+                            zu = chebyshev(cvisc_mv, tr["cvisc_dinv"], rcu,
+                                           iu_c, sc_lmax / cond_ratio, sc_lmax)
+                        return jnp.concatenate([zu, zp])
+
+                    def coarse_solve(rc):
+                        zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=Mc,
+                                      flexible=True, m=sc_inner_k,
+                                      itmax=sc_inner_k, atol=0.0, rtol=1e-2)
+                        return zc
+
             def M_block(rv):
                 ru, rp = rv[: 3 * pu_.chunk], rv[3 * pu_.chunk:]
                 zp = solve_p(rp)
                 zu = solve_u(ru - up_mv(zp))
-                return jnp.concatenate([zu, zp])
+                z = jnp.concatenate([zu, zp])
+                if has_coarse:
+                    # multiplicative two-level step: block pre-smooth ->
+                    # geostrophic coarse, no post smooth (see
+                    # BlockStokesPrecond.__call__)
+                    rc = restrict(rv - saddle_mv(z))
+                    z = z + prolong(coarse_solve(rc)) * free_inv
+                return z
 
             x0 = jnp.concatenate([u_loc, p_loc])
             x, inv_stats = gmres(saddle_mv, y_inv, x0, M=M_block,
@@ -551,28 +776,75 @@ class DDModel:
             pw = t["p_volw"]
             p_new = p_new - psum(jnp.vdot(pw, p_new)) / psum(jnp.sum(pw))
 
+            freeb = free_b.astype(bool)
+            pos_inf = jnp.asarray(jnp.inf, dt_)
+            u_max = jax.lax.pmax(jnp.abs(u_new).max(), AXIS)
             aux = {
                 "evo_iters": evo_stats.iterations,
                 "evo_res": evo_stats.residual,
                 "inv_iters": inv_stats.iterations,
                 "inv_res": inv_stats.residual,
-                "u_max": jax.lax.pmax(jnp.abs(u_new).max(), AXIS),
+                "u_max": u_max,
                 "b_max": jax.lax.pmax(jnp.abs(b_new).max(), AXIS),
+                # progress-line diagnostics (reference src/model.jl:172-192)
+                "b_free_min": jax.lax.pmin(
+                    jnp.where(freeb, b_new, pos_inf).min(), AXIS),
+                "b_free_max": jax.lax.pmax(
+                    jnp.where(freeb, b_new, -pos_inf).max(), AXIS),
+                "db_dt_max": jax.lax.pmax(
+                    jnp.where(freeb, jnp.abs(b_new - b_loc), 0.0).max(),
+                    AXIS) / dtv,
+                "cfl_dt": jax.lax.pmin(t["h_cells"].min(), AXIS)
+                / jnp.maximum(u_max, 1e-30),
             }
             out = {
                 "u": u_new, "p": p_new, "b": b_new,
                 "u_prev": u_loc, "b_prev": b_loc,
                 "t": tt + dtv, "dt": dtv, "step": stp + 1,
             }
+            if eddy_on:
+                # eddy-viscosity inversion-block rebuild every 10 steps
+                # (reference src/model.jl:160-170), assembled from this
+                # shard's own cells; preconditioner kept unchanged like
+                # the single-device path (models/model.py _eddy_rebuild)
+                from ..fem import assembly as asm_
+
+                def rebuild(_):
+                    Gu3 = jnp.einsum(
+                        "cqip,pd->cqid",
+                        jnp.einsum("cpr,qir->cqip", t["invJT"], dphi_u),
+                        embed)
+                    abz = pr.alpha * (
+                        pr.N2 + jnp.einsum("cqi,ci->cq", Gb3[..., 2],
+                                           gath_b(b_new)))
+                    nu_q = eddy.nu(t["f_eddy_q"], abz)
+                    return asm_.elem_inversion_blocks(
+                        t["wq"], nu_q, t["f_q"], phi_u, Gu3, phi_p,
+                        jnp.asarray(pr.a2e2, dt_), variable_nu)
+
+                do = jnp.equal(jnp.mod(stp + 1, 10), 0)
+                uu, up, pu = jax.lax.cond(
+                    do, rebuild, lambda _: (Ae_uu, Ae_up, Ae_pu), None)
+                out["A_uu_e"] = uu
+                out["A_up_e"] = up
+                out["A_pu_e"] = pu
             return out, aux
 
         vec_keys = ("u", "p", "b", "u_prev", "b_prev")
+        elem_keys = ("A_uu_e", "A_up_e", "A_pu_e") if self.eddy_on else ()
         tab_in_specs = {k: P(AXIS) for k in self.tables}
-        sv_in_specs = {k: (P(AXIS) if k in vec_keys else P()) for k in
-                       ("u", "p", "b", "u_prev", "b_prev", "t", "dt", "step")}
+        repl_in_specs = {k: P() for k in self.tables_repl}
+        sv_names = ("u", "p", "b", "u_prev", "b_prev", "t", "dt", "step")
+        sv_in_specs = {k: (P(AXIS) if k in vec_keys else P())
+                       for k in sv_names}
+        for k in elem_keys:
+            sv_in_specs[k] = P(AXIS)
+        aux_keys = ("evo_iters", "evo_res", "inv_iters", "inv_res",
+                    "u_max", "b_max", "b_free_min", "b_free_max",
+                    "db_dt_max", "cfl_dt")
 
-        def wrapper(tables, sv):
-            def body(t, s):
+        def wrapper(tables, tables_repl, sv):
+            def body(t, tr, s):
                 # tables arrive with leading axis sliced to 1 for
                 # (S, nc, ...) arrays and to (chunk,) for dd vectors
                 t2 = {}
@@ -583,17 +855,19 @@ class DDModel:
                         t2[k] = v
                     else:
                         t2[k] = v[0]
-                return step_kernel(t2, s)
+                s2 = {k: (v[0] if k in elem_keys else v)
+                      for k, v in s.items()}
+                out, aux = step_kernel(t2, tr, s2)
+                out = {k: (v[None] if k in elem_keys else v)
+                       for k, v in out.items()}
+                return out, aux
 
             return shard_map(
                 body, mesh=self.mesh,
-                in_specs=(tab_in_specs, sv_in_specs),
-                out_specs=(sv_in_specs,
-                           {k: P() for k in ("evo_iters", "evo_res",
-                                             "inv_iters", "inv_res",
-                                             "u_max", "b_max")}),
+                in_specs=(tab_in_specs, repl_in_specs, sv_in_specs),
+                out_specs=(sv_in_specs, {k: P() for k in aux_keys}),
                 check_vma=False,
-            )(tables, sv)
+            )(tables, tables_repl, sv)
 
         self._step = jax.jit(wrapper)
         # device-resident tables (sharded placement); make_array_from_
@@ -602,19 +876,32 @@ class DDModel:
         self.tables_dev = {
             k: self._global(v, P(AXIS)) for k, v in self.tables.items()
         }
+        self.tables_repl_dev = {
+            k: self._global(v, P()) for k, v in self.tables_repl.items()
+        }
 
         def _norms(tables, sv):
             def body(t, s):
                 sq = lambda v: jax.lax.psum(jnp.vdot(v, v), AXIS)
                 return {"u2": sq(s["u"]), "p2": sq(s["p"]), "b2": sq(s["b"])}
 
-            vecs = {k: (P(AXIS) if k in vec_keys else P()) for k in sv}
+            vecs = {k: (P(AXIS) if (k in vec_keys or k in elem_keys) else P())
+                    for k in sv}
             return shard_map(body, mesh=self.mesh,
                              in_specs=({k: P(AXIS) for k in tables}, vecs),
                              out_specs={"u2": P(), "p2": P(), "b2": P()},
                              check_vma=False)(tables, sv)
 
         self._norms = jax.jit(_norms)
+
+        def multi_step(tables, tables_repl, sv, n):
+            def body(sv, _):
+                sv, aux = wrapper(tables, tables_repl, sv)
+                return sv, aux
+
+            return jax.lax.scan(body, sv, None, length=n)
+
+        self._multi_step = jax.jit(multi_step, static_argnums=(3,))
 
     def _global(self, host_arr, spec):
         """Build a (possibly multi-process) global device array from an
@@ -631,15 +918,135 @@ class DDModel:
 
     # ------------------------------------------------------------------
     def step(self, dd_state: dict):
-        return self._step(self.tables_dev, dd_state)
+        return self._step(self.tables_dev, self.tables_repl_dev, dd_state)
 
-    def run(self, state: State, max_steps: int, n_info: int = 0,
+    def multi_step(self, dd_state: dict, n: int):
+        """n steps as ONE dispatch (lax.scan inside jit): a single host
+        round-trip per block -- the production loop granularity."""
+        return self._multi_step(self.tables_dev, self.tables_repl_dev,
+                                dd_state, int(n))
+
+    def run(self, state, max_steps: int = None, n_info: int = 10,
+            n_save=None, save_callback=None, steps_per_block: int = 1,
             log=print) -> State:
-        dd = self.to_dd(state)
-        for i in range(int(max_steps)):
-            dd, aux = self.step(dd)
-            if n_info and (i + 1) % n_info == 0:
-                log(f"dd step {i + 1}: |u|max={float(aux['u_max']):.3e} "
-                    f"evo_it={int(aux['evo_iters'])} "
-                    f"inv_it={int(aux['inv_iters'])}")
+        """Production run loop over the sharded state: scan-blocked
+        dispatch, blow-up guard, and the reference's progress block
+        (field parity with PGModel.run / reference src/model.jl:90-211).
+
+        ``state`` may be a host ``State`` or an already-sharded dd
+        dict (e.g. from ``load_checkpoint``).  ``save_callback``
+        receives (dd_model, dd_state, step) -- use ``save_checkpoint``
+        or ``from_dd`` inside it.
+        """
+        import sys
+        import time
+
+        from ..models.model import BlowUpError
+        from ..utils.misc import hrs_mins_secs
+
+        def hms(sec):
+            return "%02d:%02d:%02d" % hrs_mins_secs(sec)
+
+        dd = state if isinstance(state, dict) else self.to_dd(state)
+        t_stop = float(self.model.ts.t_stop)
+        t0 = t_last = time.time()
+        i = i0 = int(jax.device_get(dd["step"]))
+        while float(jax.device_get(dd["t"])) < t_stop:
+            if steps_per_block > 1:
+                dd, auxs = self.multi_step(dd, steps_per_block)
+                aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+                i += steps_per_block
+            else:
+                dd, aux = self.step(dd)
+                i += 1
+            u_max, b_max = float(aux["u_max"]), float(aux["b_max"])
+            if max(u_max, b_max) > 1e3 or np.isnan(u_max) or np.isnan(b_max):
+                raise BlowUpError(
+                    f"Blow-up detected at step {i}: "
+                    f"|u|max={u_max:.3e} |b|max={b_max:.3e}")
+            if n_info and i % n_info == 0:
+                t1 = time.time()
+                dt_ = float(jax.device_get(dd["dt"]))
+                tv = float(jax.device_get(dd["t"]))
+                msg = (f"t = {tv:.3e}/{t_stop:.3e} (i = {i}, dt = {dt_:.3e})\n"
+                       f"time elapsed: {hms(t1 - t0)}\n")
+                if i - i0 > n_info:
+                    t_step = (t1 - t_last) / n_info
+                    left = max(0.0, (t_stop - tv) // max(dt_, 1e-30))
+                    msg += (f"timestep duration ~ {t_step:.3e} s\n"
+                            f"estimated time remaining: {hms(t_step * left)}\n")
+                msg += (f"|u|max = {u_max:.3e}, "
+                        f"CFL dt ~ {float(aux['cfl_dt']):.3e}\n"
+                        f"{float(aux['b_free_min']):.3e} <= b_free <= "
+                        f"{float(aux['b_free_max']):.3e}, "
+                        f"|db/dt|max = {float(aux['db_dt_max']):.3e}\n"
+                        f"evo_it = {int(aux['evo_iters'])}, "
+                        f"inv_it = {int(aux['inv_iters'])}")
+                log(msg)
+                t_last = t1
+                sys.stdout.flush()
+                sys.stderr.flush()
+            if n_save and i % n_save == 0 and save_callback is not None:
+                save_callback(self, dd, i)
+            if max_steps is not None and i >= int(max_steps):
+                break
         return self.from_dd(dd)
+
+    # ------------------------------------------------------------------
+    # sharded checkpoint I/O: each process writes/reads only its own
+    # addressable shards -- no gather, scales to multi-host runs
+    # ------------------------------------------------------------------
+    def _ckpt_path(self, path: str) -> str:
+        if jax.process_count() > 1:
+            return f"{path}.proc{jax.process_index()}"
+        return path
+
+    def save_checkpoint(self, dd_state: dict, path: str) -> None:
+        """Write this process's shards of the dd state to ``path``
+        (npz).  Multi-process runs write one file per process
+        (``path.procK``); pair with ``load_checkpoint`` on the same
+        mesh/process layout."""
+        data = {}
+        for k, v in dd_state.items():
+            if v.ndim == 0:
+                data[f"scalar:{k}"] = np.asarray(v)
+            else:
+                for sh in v.addressable_shards:
+                    start = sh.index[0].start or 0
+                    data[f"shard:{k}:{start}"] = np.asarray(sh.data)
+        np.savez_compressed(self._ckpt_path(path), **data)
+
+    def load_checkpoint(self, path: str) -> dict:
+        """Rebuild a sharded dd state from ``save_checkpoint`` output;
+        the callback feeds each device only its own block."""
+        p = self._ckpt_path(path)
+        if not p.endswith(".npz"):
+            p = p + ".npz"
+        f = np.load(p)
+        keys = set()
+        blocks = {}
+        scalars = {}
+        for name in f.files:
+            kind, rest = name.split(":", 1)
+            if kind == "scalar":
+                scalars[rest] = f[name]
+            else:
+                k, start = rest.rsplit(":", 1)
+                keys.add(k)
+                blocks.setdefault(k, {})[int(start)] = f[name]
+        out = {}
+        for k, v in scalars.items():
+            out[k] = self._global(v, P())
+        for k in keys:
+            bl = blocks[k]
+            some = next(iter(bl.values()))
+            n0 = sum(b.shape[0] for b in bl.values()) * (
+                jax.process_count())
+            shape = (n0,) + some.shape[1:]
+            sh = NamedSharding(self.mesh, P(AXIS))
+
+            def cb(idx, bl=bl):
+                return bl[idx[0].start or 0]
+
+            out[k] = jax.make_array_from_callback(shape, sh, cb)
+        return out

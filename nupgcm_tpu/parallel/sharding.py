@@ -11,11 +11,10 @@ class:
     each segmented scatter.  Collectives ride ICI; host is never in
     the loop.  This is the "pick a mesh, annotate shardings, let XLA
     insert collectives" recipe.
-  * **explicit shard_map kernels (parallel/spmv.py)**: a
-    hand-partitioned row-sharded SpMV + dot-product layer used by the
-    distributed CG -- the building block for the domain-decomposed
-    halo-exchange design (owned/ghost dofs, ``ppermute``) that
-    replaces full replication at scale.
+  * **sharded-state domain decomposition (parallel/dd.py)**: the
+    production path at scale -- partitioned state, owned/ghost dof
+    blocks, ``ppermute`` halo exchange inside every matvec, psum'd
+    Krylov reductions, replicated coarse correction.
 """
 
 from __future__ import annotations

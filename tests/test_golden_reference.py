@@ -85,21 +85,7 @@ def _build(config, dtype=None):
     return model, maps, state
 
 
-def _rel_l2(fe, vals, ref, cell_dofs, phi):
-    wq = jnp.asarray(fe.geom.wq)
-
-    def norm2(v):
-        fq = jnp.einsum("qi,ci->cq", jnp.asarray(phi),
-                        jnp.asarray(v)[jnp.asarray(cell_dofs)])
-        return float(jnp.einsum("cq,cq->", wq, fq ** 2))
-
-    vals, ref = np.asarray(vals), np.asarray(ref)
-    if vals.ndim == 2:
-        num = sum(norm2(vals[:, c] - ref[:, c]) for c in range(3))
-        den = sum(norm2(ref[:, c]) for c in range(3))
-    else:
-        num, den = norm2(vals - ref), norm2(ref)
-    return num / den
+from _helpers import integral_rel_l2 as _rel_l2
 
 
 def _run_and_compare(config, golden, dtype=None):
@@ -207,3 +193,15 @@ def test_golden_wind():
 
 def test_golden_surface_flux():
     _run_and_compare(FLUX, "bowl_surface_flux.jld2")
+
+
+def test_golden_dirichlet_f32():
+    _run_and_compare(DIRI, "bowl_diri.jld2", dtype=jnp.float32)
+
+
+def test_golden_wind_f32():
+    _run_and_compare(WIND, "bowl_wind.jld2", dtype=jnp.float32)
+
+
+def test_golden_surface_flux_f32():
+    _run_and_compare(FLUX, "bowl_surface_flux.jld2", dtype=jnp.float32)
