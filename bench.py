@@ -81,7 +81,8 @@ def mixing_setup(mesh, dt_factor=1e-4, **model_kw):
     )
     fe = npg.FEData(mesh, spaces)
     dt = dt_factor * mu / (alpha * eps) ** 2
-    ts = npg.BDF2(t_start=0, t_stop=1.0, dt=dt)
+    # t_stop far out: benchmark runs are step-count-controlled
+    ts = npg.BDF2(t_start=0, t_stop=1e6 * dt, dt=dt)
     model = npg.PGModel(fe, params, forc, ts, **model_kw)
     return model
 
@@ -217,26 +218,34 @@ def bench_1m_roofline():
     N = fe.n_inv
     log(f"[C] build {time.time() - t0:.1f}s: {fe.summary()}")
 
-    Amat = model._inv_matrix(model.ops)
-    A = MaskedOperator(Amat, model.const["free_inv"])
-
     reps = 20
+    free_inv = jax.device_put(jnp.asarray(model.const["free_inv"]))
+    tabs = getattr(model, "tables_dev", None)
 
+    # the operator and its index tables ride as jit ARGUMENTS (args
+    # table mode): nothing large may be inlined into the serialized
+    # HLO at this scale
     @jax.jit
-    def mv_loop(x):
+    def mv_loop(tables, ops, free, x):
+        with model._swap_tables(tables):
+            Amat = model._inv_matrix(ops)
+        A = MaskedOperator(Amat, free)
+
         def body(i, x):
             y = A(x)
             return y / jnp.linalg.norm(y)
 
         return jax.lax.fori_loop(0, reps, body, x)
 
+    mv_loop_b = lambda x: mv_loop(tabs, model.ops, free_inv, x)
+
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal(N),
                      model.dtype)
     t0 = time.time()
-    jax.block_until_ready(mv_loop(x0))
+    jax.block_until_ready(mv_loop_b(x0))
     log(f"[C] matvec compile+first: {time.time() - t0:.1f}s")
     t0 = time.time()
-    jax.block_until_ready(mv_loop(x0))
+    jax.block_until_ready(mv_loop_b(x0))
     t_app = (time.time() - t0) / reps
     dof_per_s = N / t_app
 
@@ -277,16 +286,20 @@ def bench_1m_roofline():
     res = {}
     with jax.default_matmul_precision("bfloat16"):
         @jax.jit
-        def mv_loop_bf16(x):
+        def mv_loop_bf16(tables, ops, free, x):
+            with model._swap_tables(tables):
+                Amat = model._inv_matrix(ops)
+            A = MaskedOperator(Amat, free)
+
             def body(i, x):
                 y = A(x)
                 return y / jnp.linalg.norm(y)
 
             return jax.lax.fori_loop(0, reps, body, x)
 
-        jax.block_until_ready(mv_loop_bf16(x0))
+        jax.block_until_ready(mv_loop_bf16(tabs, model.ops, free_inv, x0))
         t0 = time.time()
-        jax.block_until_ready(mv_loop_bf16(x0))
+        jax.block_until_ready(mv_loop_bf16(tabs, model.ops, free_inv, x0))
         t_bf16 = (time.time() - t0) / reps
     log(f"[E] matvec bf16-matmul {t_bf16 * 1e3:.2f} ms vs float32-policy "
         f"{t_app * 1e3:.2f} ms ({t_app / t_bf16:.2f}x cost of accuracy)")

@@ -84,7 +84,8 @@ def main():
 
     state = model.run(state, n_info=10, n_save=50, save_callback=save)
 
-    plotting.plot_slice(model, state, "b", ofile=f"{args.out}/b_final.png", quiver=True)
+    plotting.plot_slice(model, state, "b", ofile=f"{args.out}/b_final.png",
+                        quiver=True)  # returns a reusable SliceCache
     plotting.plot_profiles(model, state, x=0.5, y=0.0, ofile=f"{args.out}/profiles.png")
     save(model, state, args.steps)
     print(f"done -> {args.out}")

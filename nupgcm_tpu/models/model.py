@@ -111,6 +111,7 @@ class PGModel:
         saddle_coarse_inner: Optional[int] = None,
         assembly_chunk: int = 8192,
         matmul_precision: Optional[str] = "float32",
+        table_mode: str = "auto",
     ):
         self.fe = fe
         self.params = params
@@ -129,6 +130,15 @@ class PGModel:
         if matmul_precision is not None:
             jax.config.update("jax_default_matmul_precision", matmul_precision)
         self.matmul_precision = matmul_precision
+        # "const": static tables are closed over and inlined into the
+        # executable (fastest dispatch; fine up to a few 100k DoF).
+        # "args": the tables ride as DEVICE-ARRAY jit arguments --
+        # required at production scale: inlining O(100MB) constants
+        # bloats the serialized HLO (and the tunneled-TPU compile
+        # service rejects it outright).  "auto" switches on size.
+        if table_mode == "auto":
+            table_mode = "args" if fe.n_inv > 300_000 else "const"
+        self.table_mode = table_mode
         self.inv_opts = dict(atol=inv_atol, rtol=inv_rtol, itmax=inv_itmax, m=inv_memory)
         self.evo_opts = dict(atol=evo_atol, rtol=evo_rtol, itmax=evo_itmax)
         self.precond_kind = preconditioner
@@ -1111,6 +1121,52 @@ class PGModel:
         return dict(ops, A_uu_e=uu, A_up_e=up, A_pu_e=pu)
 
     # ------------------------------------------------------------------
+    # "args" table mode: at trace time the pure functions read the
+    # static tables through self.const / fe.vec_plan_* -- swapping in
+    # the traced argument pytree makes every table flow through the
+    # executable's parameters instead of being inlined as constants.
+    # ------------------------------------------------------------------
+    def _host_tables(self):
+        from ..fem.assembly import VectorPlan
+
+        fe = self.fe
+        # ndof stays OUT of the pytree (it is a static shape parameter)
+        return {
+            "const": dict(self.const),
+            "plans": {
+                name: (p.gather_perm, p.dof_sorted)
+                for name, p in (("vec_plan_b", fe.vec_plan_b),
+                                ("vec_plan_p", fe.vec_plan_p),
+                                ("vec_plan_u_nodes", fe.vec_plan_u_nodes))
+            },
+        }
+
+    def _swap_tables(self, tables):
+        from contextlib import contextmanager
+
+        from ..fem.assembly import VectorPlan
+
+        @contextmanager
+        def swapped():
+            if tables is None:
+                yield
+                return
+            fe = self.fe
+            old_const = self.const
+            old_plans = {n: getattr(fe, n) for n in tables["plans"]}
+            self.const = tables["const"]
+            for n, (gp, ds) in tables["plans"].items():
+                setattr(fe, n, VectorPlan(ndof=old_plans[n].ndof,
+                                          gather_perm=gp, dof_sorted=ds))
+            try:
+                yield
+            finally:
+                self.const = old_const
+                for n, p in old_plans.items():
+                    setattr(fe, n, p)
+
+        return swapped()
+
     def _build_functions(self):
         fr = self.forcings
 
@@ -1157,14 +1213,11 @@ class PGModel:
         # note: no buffer donation -- state legitimately aliases (b is
         # also b_prev right after set_b) and donation would double-free
         self.step_fn = step  # unjitted, for external jit/sharding wrappers
-        self.step_jit = jax.jit(step)
 
         def invert_only(ops, state: State):
             x0 = jnp.concatenate([state.u.reshape(-1), state.p])
             u, p, stats = self._invert_pure(ops, state.b, x0)
             return u, p, {"inv_iters": stats.iterations, "inv_res": stats.residual}
-
-        self.invert_jit = jax.jit(invert_only)
 
         def multi_step(ops, state: State, n: int):
             def body(carry, _):
@@ -1175,7 +1228,25 @@ class PGModel:
             (ops, state), auxs = jax.lax.scan(body, (ops, state), None, length=n)
             return ops, state, auxs
 
-        self.multi_step_jit = jax.jit(multi_step, static_argnums=(2,))
+        if self.table_mode == "args":
+            tables_dev = jax.device_put(self._host_tables())
+            self.tables_dev = tables_dev
+
+            def with_tables(fn, static=()):
+                def outer(tables, *a):
+                    with self._swap_tables(tables):
+                        return fn(*a)
+
+                jitted = jax.jit(outer, static_argnums=tuple(1 + s for s in static))
+                return lambda *a: jitted(tables_dev, *a)
+
+            self.step_jit = with_tables(step)
+            self.invert_jit = with_tables(invert_only)
+            self.multi_step_jit = with_tables(multi_step, static=(2,))
+        else:
+            self.step_jit = jax.jit(step)
+            self.invert_jit = jax.jit(invert_only)
+            self.multi_step_jit = jax.jit(multi_step, static_argnums=(2,))
 
     # ------------------------------------------------------------------
     # host-level API

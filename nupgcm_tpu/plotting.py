@@ -25,48 +25,99 @@ def _mpl():
     return plt
 
 
-def plot_slice(model, state, field="b", y=0.0, n=256, ofile="slice.png",
-               quiver=False, cmap="RdBu_r"):
-    """x-z slice at fixed y: pcolormesh of ``field`` with full-buoyancy
-    contours (reference plot_slice, src/plotting.jl:60-200)."""
+def _fill_isolated_nans(F):
+    """Fill NaNs that have 4 finite neighbors with their mean
+    (reference plot_slice NaN filling, src/plotting.jl:97-111)."""
+    nan = np.isnan(F)
+    if not nan.any():
+        return F
+    Fp = np.pad(F, 1, mode="edge")
+    nbrs = np.stack([Fp[:-2, 1:-1], Fp[2:, 1:-1], Fp[1:-1, :-2], Fp[1:-1, 2:]])
+    fill = nan & np.isfinite(nbrs).all(axis=0)
+    F[fill] = nbrs.mean(axis=0)[fill]
+    return F
+
+
+class SliceCache:
+    """Precomputed point locations + basis tabulations for one slice
+    plane -- the reference's reusable plot cache (src/plotting.jl:84-92):
+    per-save bundles re-evaluate fields with one gather + einsum."""
+
+    def __init__(self, model, x=None, y=None, z=None, n=256):
+        mesh = model.fe.mesh
+        p = mesh.coords
+        if z is not None:  # horizontal slice (3D)
+            a = np.linspace(p[:, 0].min(), p[:, 0].max(), n)
+            b = np.linspace(p[:, 1].min(), p[:, 1].max(), n)
+            aa, bb = np.meshgrid(a, b, indexing="ij")
+            pts = np.column_stack([aa.ravel(), bb.ravel(),
+                                   np.full(n * n, z)])
+            self.labels = ("x", "y")
+        elif x is not None:  # y-z slice (3D)
+            a = np.linspace(p[:, 1].min(), p[:, 1].max(), n)
+            b = np.linspace(p[:, 2].min(), p[:, 2].max(), n)
+            aa, bb = np.meshgrid(a, b, indexing="ij")
+            pts = np.column_stack([np.full(n * n, x), aa.ravel(), bb.ravel()])
+            self.labels = ("y", "z")
+        else:  # x-z slice at fixed y (default; y ignored on 2D meshes)
+            y = 0.0 if y is None else y
+            a = np.linspace(p[:, 0].min(), p[:, 0].max(), n)
+            b = np.linspace(p[:, 2].min(), p[:, 2].max(), n)
+            aa, bb = np.meshgrid(a, b, indexing="ij")
+            yy = np.full(n * n, y if mesh.tdim == 3 else 0.0)
+            pts = np.column_stack([aa.ravel(), yy, bb.ravel()])
+            self.labels = ("x", "z")
+        self.n = n
+        self.aa, self.bb = aa, bb
+        self.pts = pts
+        ev = FieldEvaluator(mesh)
+        sp = model.fe.spaces
+        self.eval_u = ev.prepare(sp.u_space, pts)
+        self.eval_b = ev.prepare(sp.b_space, pts)
+
+
+def plot_slice(model, state, field="b", x=None, y=None, z=None, n=256,
+               ofile="slice.png", quiver=False, cmap="RdBu_r", cache=None):
+    """Slice plot: pcolormesh of ``field`` with full-buoyancy contours
+    and optional in-plane quiver (reference plot_slice,
+    src/plotting.jl:60-200).  Slice plane chosen by which of x/y/z is
+    given (default: x-z plane at y=0).  Pass the returned ``cache``
+    back in to skip point location on subsequent saves."""
     plt = _mpl()
-    mesh = model.fe.mesh
-    p = mesh.coords
-    xs = np.linspace(p[:, 0].min(), p[:, 0].max(), n)
-    zs = np.linspace(p[:, 2].min(), p[:, 2].max(), n)
-    xx, zz = np.meshgrid(xs, zs, indexing="ij")
-    yy = np.full_like(xx, y if mesh.tdim == 3 else 0.0)
-    pts = np.column_stack([xx.ravel(), yy.ravel(), zz.ravel()])
-    ev = FieldEvaluator(mesh)
-    sp = model.fe.spaces
-    uvals = ev.eval(sp.u_space, np.asarray(state.u), pts)
-    bvals = ev.eval(sp.b_space, np.asarray(state.b), pts)
-    b_full = model.params.N2 * pts[:, 2] + bvals
+    if cache is None:
+        cache = SliceCache(model, x=x, y=y, z=z, n=n)
+    n = cache.n
+    uvals = cache.eval_u(np.asarray(state.u))
+    bvals = cache.eval_b(np.asarray(state.b))
+    b_full = model.params.N2 * cache.pts[:, 2] + bvals
     fields = {
         "u": uvals[:, 0], "v": uvals[:, 1], "w": uvals[:, 2],
         "b": b_full, "b_pert": bvals,
     }
-    F = fields[field].reshape(n, n)
+    F = _fill_isolated_nans(fields[field].reshape(n, n).copy())
     fig, ax = plt.subplots(figsize=(6, 4))
     vmax = np.nanmax(np.abs(F)) or 1.0
-    pc = ax.pcolormesh(xx, zz, F, cmap=cmap, vmin=-vmax, vmax=vmax, shading="auto")
+    pc = ax.pcolormesh(cache.aa, cache.bb, F, cmap=cmap, vmin=-vmax,
+                       vmax=vmax, shading="auto")
     fig.colorbar(pc, ax=ax, label=field)
-    B = b_full.reshape(n, n)
+    B = _fill_isolated_nans(b_full.reshape(n, n).copy())
     try:
-        ax.contour(xx, zz, B, colors="k", linewidths=0.4, levels=12)
+        ax.contour(cache.aa, cache.bb, B, colors="k", linewidths=0.4, levels=12)
     except Exception:
         pass
     if quiver:
         s = max(1, n // 24)
-        ax.quiver(xx[::s, ::s], zz[::s, ::s],
-                  fields["u"].reshape(n, n)[::s, ::s],
-                  fields["w"].reshape(n, n)[::s, ::s], color="0.3", width=2e-3)
-    ax.set_xlabel("x")
-    ax.set_ylabel("z")
+        comp = {"x": "u", "y": "v", "z": "w"}
+        qa = fields[comp[cache.labels[0]]].reshape(n, n)
+        qb = fields[comp[cache.labels[1]]].reshape(n, n)
+        ax.quiver(cache.aa[::s, ::s], cache.bb[::s, ::s],
+                  qa[::s, ::s], qb[::s, ::s], color="0.3", width=2e-3)
+    ax.set_xlabel(cache.labels[0])
+    ax.set_ylabel(cache.labels[1])
     ax.set_title(f"{field} at t = {float(state.t):.3e}")
     fig.savefig(ofile, dpi=150, bbox_inches="tight")
     plt.close(fig)
-    return ofile
+    return cache
 
 
 def plot_profiles(model, state, x=0.5, y=0.0, n=128, ofile="profiles.png"):
@@ -100,12 +151,18 @@ def plot_profiles(model, state, x=0.5, y=0.0, n=128, ofile="profiles.png"):
 
 
 def sim_plots(model, state, out_dir=".", index=0):
-    """Per-save plot bundle (reference sim_plots, src/plotting.jl:369-398)."""
-    return [
-        plot_slice(model, state, "b", ofile=f"{out_dir}/b_slice_{index:08d}.png"),
-        plot_slice(model, state, "w", ofile=f"{out_dir}/w_slice_{index:08d}.png"),
-        plot_profiles(model, state, ofile=f"{out_dir}/profiles_{index:08d}.png"),
-    ]
+    """Per-save plot bundle (reference sim_plots, src/plotting.jl:369-398).
+    The slice cache is memoized on the model so repeated saves skip
+    point location (the reference's cache-reuse pattern)."""
+    cache = getattr(model, "_slice_cache", None)
+    files = [f"{out_dir}/b_slice_{index:08d}.png",
+             f"{out_dir}/w_slice_{index:08d}.png",
+             f"{out_dir}/profiles_{index:08d}.png"]
+    cache = plot_slice(model, state, "b", ofile=files[0], cache=cache)
+    plot_slice(model, state, "w", ofile=files[1], quiver=True, cache=cache)
+    model._slice_cache = cache
+    plot_profiles(model, state, ofile=files[2])
+    return files
 
 
 def plot_tri_mesh(model, vals, cb_label="", ofile="tri_mesh.png"):

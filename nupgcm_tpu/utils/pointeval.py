@@ -80,6 +80,64 @@ class FieldEvaluator:
         return out
 
 
+    def prepare(self, space, pts3: np.ndarray) -> "PointEval":
+        """Precompute the point-location + basis tabulation for a fixed
+        point set: repeated evaluations (per-save plot bundles) become
+        a single gather + einsum (reference plot_slice's evaluate
+        cache, src/plotting.jl:84-92)."""
+        pts3 = np.atleast_2d(np.asarray(pts3, dtype=np.float64))
+        cells, refs = self.locate(pts3[:, self.mesh.plane_axes])
+        ok = cells >= 0
+        phi, _ = tabulate(self.mesh.tdim, space.order, refs[ok])
+        return PointEval(space=space, n_pts=len(pts3), ok=ok,
+                         cell_dofs=space.cell_dofs[cells[ok]], phi=phi)
+
+
+class PointEval:
+    """Cached evaluation plan for one (space, point-set) pair."""
+
+    def __init__(self, space, n_pts, ok, cell_dofs, phi):
+        self.space = space
+        self.n_pts = n_pts
+        self.ok = ok
+        self.cell_dofs = cell_dofs
+        self.phi = phi
+
+    def __call__(self, dof_vals: np.ndarray) -> np.ndarray:
+        vals = np.asarray(dof_vals, dtype=np.float64)
+        out = np.full((self.n_pts,) + vals.shape[1:], np.nan)
+        if self.ok.any():
+            out[self.ok] = np.einsum("mi,mi...->m...", self.phi,
+                                     vals[self.cell_dofs])
+        return out
+
+
 def nan_eval(evaluator: FieldEvaluator, space, dof_vals, pts3):
     """Reference-parity convenience wrapper."""
     return evaluator.eval(space, dof_vals, pts3)
+
+
+def find_H(evaluator: FieldEvaluator, x: float, y: float = 0.0,
+           tol: float = 1e-8, z_top: float = 0.0, z_bot: float = -1.0):
+    """Water-column depth at (x, y) by bisection on domain membership
+    (reference find_H, src/plotting.jl:38-52): returns H such that
+    (x, y, -H) is the deepest in-domain point; NaN if even the surface
+    point is outside."""
+    axes = evaluator.mesh.plane_axes
+
+    def inside(z):
+        p = np.array([[x, y, z]])[:, axes]
+        return evaluator.locate(p)[0][0] >= 0
+
+    if not inside(z_top):
+        return np.nan
+    z_in, z_out = z_top, z_bot
+    if inside(z_bot):
+        return -z_bot
+    while abs(z_in - z_out) > tol:
+        z = 0.5 * (z_in + z_out)
+        if inside(z):
+            z_in = z
+        else:
+            z_out = z
+    return -z_in

@@ -125,3 +125,36 @@ def test_sample_state_background(small_model):
     s = sample_state(model, st, grid)
     inside = s["mask"] > 0
     assert (s["b"][inside] != s["b_pert"][inside]).any()
+
+
+def test_find_H_and_cached_slice(small_model, tmp_path):
+    """find_H bisection recovers the bowl depth (reference find_H,
+    src/plotting.jl:38-52); the cached slice plot bundle reuses point
+    locations across saves (reference cache pattern)."""
+    from nupgcm_tpu.plotting import SliceCache, plot_slice, sim_plots
+    from nupgcm_tpu.utils.pointeval import FieldEvaluator, find_H
+
+    model, state = small_model
+    ev = FieldEvaluator(model.fe.mesh)
+    alpha = model.params.alpha
+    # bowl: H(x, y) = alpha (1 - x^2 - y^2); the discrete boundary is
+    # within one cell of the analytic one on this coarse mesh
+    H = find_H(ev, 0.0, 0.0, tol=1e-10)
+    assert abs(H - alpha) < 0.15
+    H2 = find_H(ev, 0.7, 0.0, tol=1e-10)
+    assert abs(H2 - alpha * (1 - 0.49)) < 0.15
+    assert np.isnan(find_H(ev, 2.0, 0.0))  # outside the basin
+
+    # cached slice reuse + slice-direction variants + quiver
+    c1 = plot_slice(model, state, "b", ofile=str(tmp_path / "b1.png"), n=32)
+    c2 = plot_slice(model, state, "w", ofile=str(tmp_path / "w1.png"),
+                    cache=c1, quiver=True)
+    assert c2 is c1  # same cache round-trips
+    cz = plot_slice(model, state, "u", z=-0.1,
+                    ofile=str(tmp_path / "uz.png"), n=24)
+    assert cz.labels == ("x", "y")
+    files = sim_plots(model, state, out_dir=str(tmp_path), index=3)
+    import os
+
+    assert all(os.path.exists(f) for f in files)
+    assert isinstance(getattr(model, "_slice_cache", None), SliceCache)

@@ -402,3 +402,23 @@ def test_saddle_coarse_scales_past_dense():
     assert res1 < 1e-5 and res2 < 1e-5, iters
     assert it2 <= 35, iters  # bounded at 100k DoF
     assert it2 <= it1 + 15, iters  # near-flat growth over 5x DoFs
+
+
+def test_args_table_mode_bitwise(bowl_model):
+    """"args" table mode (static tables as device-array jit arguments,
+    required at production scale where inlined constants overflow the
+    serialized HLO) is bitwise-identical to the default inlined mode."""
+    model, _ = bowl_model
+    fe, params, forc, ts = model.fe, model.params, model.forcings, model.ts
+
+    m1 = npg.PGModel(fe, params, forc, ts, table_mode="const")
+    s1 = m1.run(m1.rest_state(), n_info=0, max_steps=6, steps_per_block=3)
+    m2 = npg.PGModel(fe, params, forc, ts, table_mode="args")
+    assert m2.table_mode == "args"
+    s2 = m2.run(m2.rest_state(), n_info=0, max_steps=6, steps_per_block=3)
+    assert np.abs(np.asarray(s1.u) - np.asarray(s2.u)).max() == 0.0
+    assert np.abs(np.asarray(s1.b) - np.asarray(s2.b)).max() == 0.0
+
+    i1 = m1.invert(m1.set_b(m1.rest_state(), lambda x: 0.05 * np.exp(2 * x[2])))
+    i2 = m2.invert(m2.set_b(m2.rest_state(), lambda x: 0.05 * np.exp(2 * x[2])))
+    assert np.abs(np.asarray(i1.u) - np.asarray(i2.u)).max() == 0.0
