@@ -129,68 +129,65 @@ def box_mesh(nx: int, ny: int, nz: int, lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0)) 
     return Mesh(tdim=3, coords=coords, cells=cells, tagged=tagged)
 
 
-def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None) -> Mesh:
-    """3D channel+basin composite: an x-periodic re-entrant channel
-    (south) feeding a closed basin (north) with parabolic sidewalls
-    and rounded corners -- the reference's production geometry
-    (reference meshes/channel_basin.jl:4-110; L=2, W=1, channel length
-    L/4, basin flat width W/2, depth H = alpha*W).
+def _graded_sigma(nz: int, refinement_factor) -> np.ndarray:
+    """Normalized vertical levels s in [0, 1] (s=0 bottom, s=1 surface).
 
-    Terrain-following construction: a level-set phi(x, y) describes
-    the footprint (full-width channel south of y=-0.5 union a
-    rounded-rectangle basin), boundary grid vertices are snapped onto
-    phi=0 for a body-fitted coastline, and columns of nz sigma layers
-    collapse at the coast exactly like bowl3D.
-
-    Tags: "bottom", "surface", "coastline", "interior";
-    ``periodic_pairs`` identifies x=1 with x=0 (channel seam).
+    Uniform when no refinement; otherwise graded so the end spacings
+    (bottom + surface boundary layers) shrink by ``refinement_factor``
+    and ramp back to the interior spacing over one base cell -- the
+    sigma-mesh analog of the reference's Distance/Threshold background
+    field (SizeMin = h/r at the boundary, SizeMax = h at distance h;
+    reference meshes/channel_basin.jl:131-147).
     """
-    L, W = 2.0, 1.0
-    H = alpha * W
-    L_channel = L / 4.0                 # channel spans y in [-1, -0.5]
-    y_ch_top = -L / 2 + L_channel
-    L_flat = L_channel / 4.0
-    L_curve = (L_channel - L_flat) / 2.0
-    y_rise = -L / 2 + L_curve + L_flat  # channel bottom starts rising
-    Wc = W / 4.0                        # basin sidewall width (W_curve)
-    # basin spine rectangle: x in [Wc, W-Wc], y in [-0.75, L/2 - Wc]
-    sx0, sx1 = Wc, W - Wc
-    sy0, sy1 = -L / 2 + L_channel / 2.0, L / 2 - Wc
+    if refinement_factor is None or refinement_factor <= 1:
+        return np.linspace(0.0, 1.0, nz + 1)
+    r = float(refinement_factor)
+    ds = 1.0 / nz  # base (interior) spacing; also the ramp distance
 
-    def spine_dist(x, y):
-        dx = np.maximum(np.maximum(sx0 - x, x - sx1), 0.0)
-        dy = np.maximum(np.maximum(sy0 - y, y - sy1), 0.0)
-        return np.hypot(dx, dy)
+    def g(s):
+        # local target spacing: ds/r at the wall, ds past one base cell
+        return ds * (1.0 / r + (1.0 - 1.0 / r) * min(s / ds, 1.0))
 
-    def phi2(x, y):
-        # channel region: inside for all x when y <= y_ch_top
-        ch = np.where(y <= y_ch_top, Wc, -np.inf)
-        basin = Wc - spine_dist(x, y)
-        return np.maximum(ch, basin)
+    # march the half-grid [0, 1/2] with the local spacing, mirror it
+    pts = [0.0]
+    while pts[-1] < 0.5:
+        pts.append(pts[-1] + g(pts[-1]))
+    half = np.array(pts) * (0.5 / pts[-1])
+    return np.concatenate([half, 1.0 - half[-2::-1]])
 
-    def depth(x, y):
-        """Water depth: channel y-profile union basin footprint."""
-        # channel: vertical wall at y=-1, flat -H, parabolic rise to 0
-        t = np.clip((y_ch_top - y) / (y_ch_top - y_rise), 0.0, 1.0)
-        d_ch = np.where(y <= y_ch_top, H * t * (2.0 - t), 0.0)
-        # basin: parabolic sidewalls in distance-to-spine
-        s = np.clip(1.0 - spine_dist(x, y) / Wc, 0.0, 1.0)
-        d_basin = H * s * (2.0 - s)
-        return np.maximum(d_ch, d_basin)
 
+def _sigma_composite(h: float, phi2, depth, L: float, W: float,
+                     y_ch_top: float, H: float, nz: int | None,
+                     refinement_factor=None) -> Mesh:
+    """Shared terrain-following core of the channel_basin family.
+
+    Footprint level-set ``phi2(x, y)`` (> 0 inside; None = the whole
+    [0, W] x [-L/2, L/2] rectangle), water depth ``depth(x, y)``;
+    boundary grid vertices snap onto phi = 0 for a body-fitted
+    coastline and columns of sigma layers collapse where the depth
+    vanishes.  The x = W plane is identified with x = 0 for
+    y <= ``y_ch_top`` (the re-entrant channel seam); prism diagonals
+    are chosen through periodic-consistent keys so the seam faces
+    match EXACTLY under the translation (conforming periodic gluing
+    -- every slave-plane edge has a master, nothing falls back to
+    weak coupling).
+    """
     # --- footprint grid with coastline snapping ----------------------
     nx = max(4, int(round(W / h)))
     ny = max(8, int(round(L / h)))
     xs = np.linspace(0.0, W, nx + 1)
     ys = np.linspace(-L / 2, L / 2, ny + 1)
     X, Y = np.meshgrid(xs, ys, indexing="ij")
-    PHI = phi2(X, Y)
-    inside = PHI > 1e-12
+    if phi2 is None:
+        inside = np.ones(X.shape, dtype=bool)
+    else:
+        PHI = phi2(X, Y)
+        inside = PHI > 1e-12
 
     # snap outside vertices adjacent to inside ones onto phi = 0
     Xs, Ys = X.copy(), Y.copy()
     snapped = np.zeros_like(inside)
-    for axis in (0, 1):
+    for axis in (0, 1) if phi2 is not None else ():
         for sgn in (1, -1):
             nb = np.roll(inside, sgn, axis=axis)
             if axis == 0:
@@ -247,7 +244,9 @@ def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None) -> Mesh
     nb = len(base_xy)
     if nz is None:
         nz = max(2, int(round(H / h)) * 2)
-    Hb = np.array([depth(x, y) for x, y in base_xy])
+    slev = _graded_sigma(nz, refinement_factor)
+    nz = len(slev) - 1
+    Hb = np.asarray(depth(base_xy[:, 0], base_xy[:, 1]), dtype=np.float64)
     collapsed = Hb <= 1e-10
     node_id = np.full((nb, nz + 1), -1, dtype=np.int64)
     coords = []
@@ -256,10 +255,27 @@ def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None) -> Mesh
             coords.append((base_xy[i, 0], base_xy[i, 1], 0.0))
             node_id[i, :] = len(coords) - 1
         else:
-            for j, z in enumerate(np.linspace(-Hb[i], 0.0, nz + 1)):
-                coords.append((base_xy[i, 0], base_xy[i, 1], z))
+            for j, s in enumerate(slev):
+                coords.append((base_xy[i, 0], base_xy[i, 1], -Hb[i] * (1.0 - s)))
                 node_id[i, j] = len(coords) - 1
     coords = np.array(coords)
+
+    # periodic pairs across the channel seam (x = W -> x = 0), needed
+    # BEFORE tetrahedralization: the prism-split diagonal keys below
+    # identify slave nodes with their masters so seam faces conform
+    pairs = []
+    for j in range(ny + 1):
+        if vid[0, j] >= 0 and vid[nx, j] >= 0 and ys[j] <= y_ch_top + 1e-9:
+            c0, c1 = vid[0, j], vid[nx, j]
+            if collapsed[c0] != collapsed[c1]:
+                continue
+            for lev in range(nz + 1):
+                pairs.append((node_id[c1, lev], node_id[c0, lev]))
+    pairs = (np.unique(np.array(sorted(set(pairs)), dtype=np.int64), axis=0)
+             if pairs else None)
+    key = np.arange(len(coords), dtype=np.int64)
+    if pairs is not None:
+        key[pairs[:, 0]] = pairs[:, 1]
 
     tets = []
     for (a, b, c) in tris:
@@ -270,7 +286,7 @@ def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None) -> Mesh
             ]
             if len(set(prism)) < 4:
                 continue
-            tets.extend(_split_prism(prism))
+            tets.extend(_split_prism(prism, key))
     tets = np.array(tets, dtype=np.int64)
     X3 = coords[tets]
     vol6 = np.einsum(
@@ -293,29 +309,185 @@ def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None) -> Mesh
     )
     surface = bf[on_sfc & ~on_end]
     bottom = bf[~on_sfc & ~on_end]
-    # coastline: surface nodes whose column is collapsed
-    coast_nodes = np.unique(node_id[collapsed, 0]) if collapsed.any() else np.zeros(0, np.int64)
-    coast = coast_nodes.reshape(-1, 1)
-
-    # periodic pairs across the channel seam (x = W -> x = 0)
-    pairs = []
-    for j in range(ny + 1):
-        if vid[0, j] >= 0 and vid[nx, j] >= 0 and ys[j] <= y_ch_top + 1e-9:
-            c0, c1 = vid[0, j], vid[nx, j]
-            if collapsed[c0] != collapsed[c1]:
-                continue
-            for lev in range(nz + 1):
-                pairs.append((node_id[c1, lev], node_id[c0, lev]))
-    pairs = np.unique(np.array(sorted(set(pairs)), dtype=np.int64), axis=0) if pairs else None
 
     tagged = {
         "surface": {2: surface},
         "bottom": {2: bottom},
-        "coastline": {0: coast},
         "interior": {3: tets},
     }
+    if collapsed.any():
+        # coastline: surface nodes whose column is collapsed
+        coast_nodes = np.unique(node_id[collapsed, 0])
+        tagged["coastline"] = {0: coast_nodes.reshape(-1, 1)}
+    else:
+        # vertical-wall geometries (flat variant): coastline = the
+        # surface perimeter edges that are not on the periodic seam
+        # (matching the reference's 1D "coastline" curve group,
+        # meshes/channel_basin_flat.jl:128)
+        edges = {}
+        for t in surface:
+            for i0, i1 in ((0, 1), (1, 2), (0, 2)):
+                e = (min(t[i0], t[i1]), max(t[i0], t[i1]))
+                edges[e] = edges.get(e, 0) + 1
+        per = np.array([e for e, n in edges.items() if n == 1], np.int64)
+        if pairs is not None:
+            is_slave = np.zeros(len(coords), bool)
+            is_slave[pairs[:, 0]] = True
+            is_master = np.zeros(len(coords), bool)
+            is_master[pairs[:, 1]] = True
+            on_seam = ((is_slave[per[:, 0]] & is_slave[per[:, 1]])
+                       | (is_master[per[:, 0]] & is_master[per[:, 1]]))
+            per = per[~on_seam]
+        tagged["coastline"] = {1: per}
     return Mesh(tdim=3, coords=coords, cells=tets, tagged=tagged,
                 periodic_pairs=pairs)
+
+
+def channel_basin(h: float, alpha: float = 0.125, nz: int | None = None,
+                  refinement_factor=None) -> Mesh:
+    """3D channel+basin composite: an x-periodic re-entrant channel
+    (south) feeding a closed basin (north) with parabolic sidewalls
+    and rounded corners -- the reference's production geometry
+    (reference meshes/channel_basin.jl:4-110; L=2, W=1, channel length
+    L/4, basin flat width W/2, depth H = alpha*W).
+
+    Terrain-following construction: a level-set phi(x, y) describes
+    the footprint (full-width channel south of y=-0.5 union a
+    rounded-rectangle basin), boundary grid vertices are snapped onto
+    phi=0 for a body-fitted coastline, and columns of nz sigma layers
+    collapse at the coast exactly like bowl3D.  The periodic seam is
+    exactly conforming (see :func:`_sigma_composite`).
+
+    ``refinement_factor`` grades the vertical layers so the spacing at
+    the bottom and surface shrinks by that factor -- the sigma-mesh
+    equivalent of the reference's near-boundary Distance/Threshold
+    refinement (meshes/channel_basin.jl:123-158); in a terrain-following
+    mesh the distance to the sloped bottom IS the vertical coordinate,
+    so vertical grading refines exactly where the Gmsh field would.
+
+    Tags: "bottom", "surface", "coastline", "interior";
+    ``periodic_pairs`` identifies x=1 with x=0 (channel seam).
+    """
+    L, W = 2.0, 1.0
+    H = alpha * W
+    L_channel = L / 4.0                 # channel spans y in [-1, -0.5]
+    y_ch_top = -L / 2 + L_channel
+    L_flat = L_channel / 4.0
+    L_curve = (L_channel - L_flat) / 2.0
+    y_rise = -L / 2 + L_curve + L_flat  # channel bottom starts rising
+    Wc = W / 4.0                        # basin sidewall width (W_curve)
+    # basin spine rectangle: x in [Wc, W-Wc], y in [-0.75, L/2 - Wc]
+    sx0, sx1 = Wc, W - Wc
+    sy0, sy1 = -L / 2 + L_channel / 2.0, L / 2 - Wc
+
+    def spine_dist(x, y):
+        dx = np.maximum(np.maximum(sx0 - x, x - sx1), 0.0)
+        dy = np.maximum(np.maximum(sy0 - y, y - sy1), 0.0)
+        return np.hypot(dx, dy)
+
+    def phi2(x, y):
+        # channel region: inside for all x when y <= y_ch_top
+        ch = np.where(y <= y_ch_top, Wc, -np.inf)
+        basin = Wc - spine_dist(x, y)
+        return np.maximum(ch, basin)
+
+    def depth(x, y):
+        """Water depth: channel y-profile union basin footprint."""
+        # channel: vertical wall at y=-1, flat -H, parabolic rise to 0
+        t = np.clip((y_ch_top - y) / (y_ch_top - y_rise), 0.0, 1.0)
+        d_ch = np.where(y <= y_ch_top, H * t * (2.0 - t), 0.0)
+        # basin: parabolic sidewalls in distance-to-spine
+        s = np.clip(1.0 - spine_dist(x, y) / Wc, 0.0, 1.0)
+        d_basin = H * s * (2.0 - s)
+        return np.maximum(d_ch, d_basin)
+
+    return _sigma_composite(h, phi2, depth, L, W, y_ch_top, H, nz,
+                            refinement_factor)
+
+
+def channel_basin_flat(h: float, alpha: float = 0.125,
+                       nz: int | None = None,
+                       refinement_factor=None) -> Mesh:
+    """Flat-bottom channel_basin variant: constant depth H = alpha*W
+    over the full [0, W] x [-L/2, L/2] footprint with vertical walls,
+    x-periodic in the channel part y <= -L/2 + L/4 (reference
+    meshes/channel_basin_flat.jl).  Coastline = the surface perimeter
+    edges off the seam; the walls are tagged "bottom" like the
+    reference's wall surfaces (channel_basin_flat.jl:126-131).
+    """
+    L, W = 2.0, 1.0
+    H = alpha * W
+    y_ch_top = -L / 2 + L / 4.0
+    return _sigma_composite(h, None, lambda x, y: H + 0.0 * x, L, W,
+                            y_ch_top, H, nz, refinement_factor)
+
+
+def channel_basin_no_flat(h: float, alpha: float = 0.125,
+                          nz: int | None = None,
+                          refinement_factor=None) -> Mesh:
+    """channel_basin variant without the flat basin floor: the basin
+    cross-section is a single width parabola of max depth H = alpha*W
+    at x = W/2, extruded straight to y = L/2 (squared-off end wall) --
+    reference meshes/channel_basin_no_flat.jl (basin Bezier through
+    (W/2, -2H) gives depth 4H (x/W)(1 - x/W)).
+    """
+    L, W = 2.0, 1.0
+    H = alpha * W
+    L_channel = L / 4.0
+    y_ch_top = -L / 2 + L_channel
+    L_flat = L_channel / 4.0
+    L_curve = (L_channel - L_flat) / 2.0
+    y_rise = -L / 2 + L_curve + L_flat
+    y_basin0 = -L / 2 + L_channel / 2.0   # basin starts at channel center
+
+    def depth(x, y):
+        t = np.clip((y_ch_top - y) / (y_ch_top - y_rise), 0.0, 1.0)
+        d_ch = np.where(y <= y_ch_top, H * t * (2.0 - t), 0.0)
+        s = x / W
+        d_basin = np.where(y >= y_basin0, 4.0 * H * s * (1.0 - s), 0.0)
+        return np.maximum(d_ch, d_basin)
+
+    return _sigma_composite(h, None, depth, L, W, y_ch_top, H, nz,
+                            refinement_factor)
+
+
+def channel_basin_no_flat_round_end(h: float, alpha: float = 0.125,
+                                    nz: int | None = None,
+                                    refinement_factor=None) -> Mesh:
+    """channel_basin_no_flat with a revolved rounded basin end: for
+    y > L/2 - W/2 the depth is H (1 - (2r/W)^2) with r the distance
+    to (W/2, L/2 - W/2), and the channel's flat part is 5/8 of its
+    length -- reference meshes/channel_basin_no_flat_round_end.jl
+    (the revolved Bezier (r=0, -H) -> (W/2, 0) is z = -H (1 - t^2)
+    with r = W t / 2).
+    """
+    L, W = 2.0, 1.0
+    H = alpha * W
+    L_channel = L / 4.0
+    L_flat = 5.0 * L_channel / 8.0
+    y_ch_top = -L / 2 + L_channel
+    y_rise = -L / 2 + L_flat
+    y_basin0 = -L / 2 + L_channel / 2.0
+    yc = L / 2 - W / 2                   # round-end revolution center y
+
+    def depth(x, y):
+        t = np.clip((y_ch_top - y) / (y_ch_top - y_rise), 0.0, 1.0)
+        d_ch = np.where(y <= y_ch_top, H * t * (2.0 - t), 0.0)
+        s = x / W
+        d_par = np.where((y >= y_basin0) & (y <= yc),
+                         4.0 * H * s * (1.0 - s), 0.0)
+        r = np.hypot(x - W / 2, np.maximum(y - yc, 0.0))
+        d_round = np.where(y > yc,
+                           H * np.maximum(1.0 - (2.0 * r / W) ** 2, 0.0), 0.0)
+        return np.maximum(np.maximum(d_ch, d_par), d_round)
+
+    def phi2(x, y):
+        # full rectangle except beyond the rounded end
+        r = np.hypot(x - W / 2, np.maximum(y - yc, 0.0))
+        return np.where(y <= yc, W / 2, W / 2 - r)
+
+    return _sigma_composite(h, phi2, depth, L, W, y_ch_top, H, nz,
+                            refinement_factor)
 
 
 def sphere_mesh(n: int = 8, radius: float = 1.0) -> Mesh:
@@ -493,15 +665,18 @@ def channel2D(h: float, alpha: float = 0.5) -> Mesh:
 
 
 def boundary_facets(cells: np.ndarray) -> np.ndarray:
-    """Facets of a simplex mesh appearing in exactly one cell."""
-    tdim = cells.shape[1] - 1
+    """Facets of a simplex mesh appearing in exactly one cell
+    (vectorized: sort-rows + run-length uniqueness)."""
     from itertools import combinations
 
-    faces = {}
-    for c in cells:
-        for f in combinations(sorted(c.tolist()), tdim):
-            faces[f] = faces.get(f, 0) + 1
-    return np.array([f for f, n in faces.items() if n == 1], dtype=np.int64)
+    nvert = cells.shape[1]
+    idx = list(combinations(range(nvert), nvert - 1))
+    faces = np.sort(np.concatenate([cells[:, i] for i in idx], axis=0), axis=1)
+    order = np.lexsort(faces.T[::-1])
+    f = faces[order]
+    neq = np.any(f[1:] != f[:-1], axis=1)
+    once = np.concatenate([[True], neq]) & np.concatenate([neq, [True]])
+    return f[once].astype(np.int64)
 
 
 def channel3D(h: float, W: float = 0.5, D0: float = 0.5, Lx: float = 1.0,
@@ -662,24 +837,31 @@ def disk_mesh_2d(h: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return xy, tris, ring
 
 
-def _split_prism(prism: list[int]) -> list[tuple[int, int, int, int]]:
+def _split_prism(prism: list[int], key: np.ndarray | None = None
+                 ) -> list[tuple[int, int, int, int]]:
     """Split a prism into <=3 tets with globally consistent diagonals.
 
     ``prism`` = [v0, v1, v2, v3, v4, v5] with vi+3 vertically above vi.
-    Uses the smallest-global-index rule (Dompierre et al. 1999) so that
-    shared quad faces between neighboring prisms pick the same diagonal.
+    Uses the smallest-index rule (Dompierre et al. 1999): every quad
+    face is split along the diagonal through its smallest vertex, so
+    shared faces between neighboring prisms pick the same diagonal.
+    Comparisons go through ``key`` when given (identity otherwise):
+    mapping periodic slave vertices to their masters' keys makes the
+    two seam planes of a re-entrant channel split IDENTICALLY under
+    the periodic translation -- an exactly conforming seam.
     """
     V = list(prism)
-    # rotate so the smallest vertex is V[0]
-    imin = int(np.argmin(V))
+    k = (lambda v: int(key[v])) if key is not None else (lambda v: v)
+    # rotate so the smallest-key vertex is V[0]
+    imin = int(np.argmin([k(v) for v in V]))
     if imin >= 3:
         # flip the prism upside down (reverse winding to keep pairing)
         V = [V[3], V[5], V[4], V[0], V[2], V[1]]
-        imin = int(np.argmin(V))
+        imin = int(np.argmin([k(v) for v in V]))
     for _ in range(imin):
         V = [V[1], V[2], V[0], V[4], V[5], V[3]]
     v0, v1, v2, v3, v4, v5 = V
-    if min(v1, v5) < min(v2, v4):
+    if min(k(v1), k(v5)) < min(k(v2), k(v4)):
         tets = [(v0, v1, v2, v5), (v0, v1, v5, v4), (v0, v4, v5, v3)]
     else:
         tets = [(v0, v1, v2, v4), (v0, v4, v2, v5), (v0, v4, v5, v3)]

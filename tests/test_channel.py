@@ -151,3 +151,73 @@ def test_channel_basin_runs():
     st = model.run(st, n_info=0, max_steps=3)
     assert np.isfinite(np.asarray(st.u)).all()
     assert np.abs(np.asarray(st.u)).max() > 1e-4
+
+
+def _seam_unmatched_edges(m):
+    """Slave-plane edges with no master under the periodic map (must be
+    0 for a conforming seam)."""
+    e = m.edges
+    s2m = -np.ones(m.n_vertices, np.int64)
+    s2m[m.periodic_pairs[:, 0]] = m.periodic_pairs[:, 1]
+    both = (s2m[e[:, 0]] >= 0) & (s2m[e[:, 1]] >= 0)
+    return int(both.sum()) - len(m.periodic_edge_pairs())
+
+
+@pytest.mark.parametrize("gen_name", [
+    "channel_basin", "channel_basin_flat", "channel_basin_no_flat",
+    "channel_basin_no_flat_round_end"])
+def test_channel_basin_family_conforming_seam(gen_name):
+    """Every channel_basin variant builds a valid mesh whose periodic
+    seam is EXACTLY conforming: all slave-plane edges have master
+    edges, so no P2 dof falls back to weak coupling (the round-2 gap;
+    reference meshes/channel_basin*.jl seam via gmsh setPeriodic)."""
+    from nupgcm_tpu.mesh import generators
+
+    m = getattr(generators, gen_name)(0.1, alpha=0.2)
+    _, d = m.cell_jacobians()
+    assert d.min() > 0
+    faces = {}
+    for c in m.cells:
+        for f in combinations(sorted(c.tolist()), 3):
+            faces[f] = faces.get(f, 0) + 1
+    assert max(faces.values()) <= 2
+    assert len(m.periodic_pairs) > 0
+    assert _seam_unmatched_edges(m) == 0
+    assert set(m.tag_names()) >= {"surface", "bottom", "coastline", "interior"}
+    # full depth reached
+    assert abs(m.coords[:, 2].min() + 0.2) < 1e-9
+
+
+def test_channel_basin_flat_exact_volume():
+    """Flat variant is a box of depth H: volume is exact."""
+    from nupgcm_tpu.mesh.generators import channel_basin_flat
+
+    m = channel_basin_flat(0.1, alpha=0.2)
+    _, d = m.cell_jacobians()
+    assert abs((d / 6).sum() - 0.2 * 1.0 * 2.0) < 1e-12
+    # vertical walls are tagged bottom; coastline is the 1D surface rim
+    assert 1 in m.tagged["coastline"]
+    cv, _ = m.tag_closure(["coastline"])
+    assert np.allclose(m.coords[cv, 2], 0.0)
+
+
+def test_channel_basin_refinement_grading():
+    """refinement_factor grades the sigma layers: min vertical spacing
+    ~ h/r at bottom+surface, interior ~ h (the reference's
+    Distance/Threshold near-boundary refinement,
+    meshes/channel_basin.jl:131-147)."""
+    from nupgcm_tpu.mesh.generators import channel_basin
+
+    r = 4
+    m = channel_basin(0.1, alpha=0.2, refinement_factor=r)
+    _, d = m.cell_jacobians()
+    assert d.min() > 0
+    assert _seam_unmatched_edges(m) == 0
+    # deepest column: spacing at the ends is ~1/r of the interior
+    col = np.hypot(m.coords[:, 0] - 0.5, m.coords[:, 1] - 0.2) < 0.05
+    z = np.unique(np.round(m.coords[col, 2], 10))
+    dz = np.diff(np.sort(z))
+    assert dz.min() < 1.5 * 0.05 / r
+    assert dz.max() > 3 * dz.min()
+    # graded near BOTH boundaries
+    assert dz[0] < 1.5 * 0.05 / r and dz[-1] < 1.5 * 0.05 / r

@@ -162,3 +162,32 @@ def test_msh_writer_roundtrip(tmp_path):
             v1, _ = mesh.tag_closure([t])
             v2, _ = m2.tag_closure([t])
             assert set(v1) == set(v2), (name, t)
+
+
+def test_quality_stats():
+    """Inner-angle/volume statistics parity with the reference's
+    quality tooling (meshes/mesh_quality.jl:16-115)."""
+    from nupgcm_tpu.mesh.quality import inner_angles, volumes, stats, quality_report
+
+    # equilateral triangle: all angles 60
+    coords = np.array([[0, 0, 0], [1, 0, 0], [0.5, math.sqrt(3) / 2, 0]])
+    th = inner_angles(coords[:, :2], np.array([[0, 1, 2]]))
+    assert np.allclose(th, 60.0)
+    assert th.shape == (3,)
+    # regular tet: 12 angles, all 60
+    c4 = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], float)
+    th4 = inner_angles(c4, np.array([[0, 1, 2, 3]]))
+    assert th4.shape == (12,)
+    assert np.allclose(th4, 60.0)
+    # unit box volumes sum to 1
+    m = box_mesh(2, 2, 2)
+    v = volumes(m.coords, m.cells)
+    assert abs(v.sum() - 1.0) < 1e-12
+    s = stats(v)
+    assert s["min"] <= s["median"] <= s["max"]
+    rep = quality_report(m)
+    assert rep["n_cells"] == m.n_cells
+    assert "inner angles" in rep["text"]
+    # 2D report path
+    rep2 = quality_report(rect_mesh(3, 3))
+    assert abs(np.sort(np.array([rep2["volumes"]["max"]]))[0] - 1 / 18) < 1e-12
