@@ -125,6 +125,21 @@ class FEData:
         self.h_median = mesh.median_edge_length()
 
         us, ps, bs = spaces.u_space, spaces.p_space, spaces.b_space
+
+        # Sort cells by their smallest (RCM-renumbered) velocity node:
+        # consecutive cells then touch a contiguous banded dof window
+        # (the RCM bandwidth), which the windowed one-hot matvec kernel
+        # (ops/window.py) and the DD partition (parallel/dd.py) both
+        # exploit.  Assembly is a sum over cells, so the order is free.
+        self.cell_order = np.argsort(
+            us.cell_dofs.min(axis=1), kind="stable").astype(np.int64)
+        g = self.geom
+        self.geom = CellGeometry(
+            tdim=g.tdim, invJT=g.invJT[self.cell_order],
+            wq=g.wq[self.cell_order], xq=g.xq[self.cell_order],
+        )
+        self.h_cells = self.h_cells[self.cell_order]
+
         nc = mesh.n_cells
         npad = (-nc) % pad_multiple
         self.n_cells_padded = nc + npad
@@ -145,9 +160,9 @@ class FEData:
                 return cd
             return np.concatenate([cd, np.zeros((npad, cd.shape[1]), cd.dtype)])
 
-        self.cd_u = _pad_cd(us.cell_dofs)
-        self.cd_p = _pad_cd(ps.cell_dofs)
-        self.cd_b = _pad_cd(bs.cell_dofs)
+        self.cd_u = _pad_cd(us.cell_dofs[self.cell_order])
+        self.cd_p = _pad_cd(ps.cell_dofs[self.cell_order])
+        self.cd_b = _pad_cd(bs.cell_dofs[self.cell_order])
 
         # combined inversion dof layout: u dof (node n, comp a) = 3n + a,
         # then pressure offset by 3*ndof_u

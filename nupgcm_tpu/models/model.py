@@ -112,6 +112,7 @@ class PGModel:
         assembly_chunk: int = 8192,
         matmul_precision: Optional[str] = "float32",
         table_mode: str = "auto",
+        windowed: Optional[bool] = None,
     ):
         self.fe = fe
         self.params = params
@@ -197,6 +198,38 @@ class PGModel:
                                  else 4 if self.twogrid else 10)
         self.inner_iters = (inner_iters_u, inner_iters_p)
         self.assembly_chunk = assembly_chunk
+
+        # Windowed one-hot MXU matvec kernels (ops/window.py): replace
+        # XLA's priced per-index gathers in the Krylov hot loop with
+        # in-VMEM one-hot contractions over RCM windows (measured ~10x
+        # the take-path matvec at 0.87M dofs).  Auto: on TPU in f32
+        # when Pallas is available and the dof planes fit in VMEM.
+        if windowed is None:
+            from ..ops import window as _W
+
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "cpu"
+            windowed = (_W.HAVE_PALLAS and backend == "tpu"
+                        and dtype == jnp.float32)
+        self.windowed = windowed
+        self.wplan = self.wplan_b = self.wplan_p = None
+        if windowed:
+            from ..ops import window as _W
+
+            sp_ = fe.spaces
+            self.wplan = _W.build_window_plan(
+                fe.cd_u, fe.cd_p, sp_.u_space.ndof, sp_.n_p)
+            self.wplan_b = _W.build_window_plan(
+                fe.cd_b, np.zeros((fe.n_cells_padded, 0)), sp_.n_b, 0)
+            self.wplan_p = _W.build_window_plan(
+                fe.cd_p, np.zeros((fe.n_cells_padded, 0)), sp_.n_p, 0)
+            # all-resident planes must fit VMEM next to the streamed
+            # blocks; beyond this the DD path shards first
+            if (6 * self.wplan.nr_u + 2 * self.wplan.nr_p) * 512 > 9e6:
+                self.windowed = False
+                self.wplan = self.wplan_b = self.wplan_p = None
 
         import os as _os
         import time as _time
@@ -829,7 +862,7 @@ class PGModel:
     # ------------------------------------------------------------------
     def _inv_matrix(self, ops) -> SaddleOperator:
         fe = self.fe
-        return SaddleOperator(
+        base = SaddleOperator(
             uu=ops["A_uu_e"], up=ops["A_up_e"], pu=ops["A_pu_e"],
             cd_u=self.const["cd_u"],
             cd_p=np.asarray(fe.cd_p, np.int32),
@@ -837,10 +870,17 @@ class PGModel:
             p_plan=fe.vec_plan_p,
             n_u_nodes=fe.spaces.u_space.ndof,
         )
+        if self.wplan is None:
+            return base
+        from ..ops.window import WindowedSaddle, blocked_saddle_tensors
+
+        uu_b, up_b, pu_b = blocked_saddle_tensors(
+            ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"], self.wplan)
+        return WindowedSaddle(base, uu_b, up_b, pu_b, self.wplan)
 
     def _visc_operator(self, visc_e) -> SaddleOperator:
         fe = self.fe
-        return SaddleOperator(
+        base = SaddleOperator(
             uu=visc_e, up=None, pu=None,
             cd_u=self.const["cd_u"],
             cd_p=np.zeros((visc_e.shape[0], 0), np.int32),
@@ -848,6 +888,12 @@ class PGModel:
             p_plan=fe.vec_plan_p,
             n_u_nodes=fe.spaces.u_space.ndof,
         )
+        if self.wplan is None:
+            return base
+        from ..ops.window import WindowedSaddle, blocked_saddle_tensors
+
+        uu_b, _, _ = blocked_saddle_tensors(visc_e, None, None, self.wplan)
+        return WindowedSaddle(base, uu_b, None, None, self.wplan)
 
     def _b_matvec(self, ops, b_full):
         """B b: buoyancy -> vertical momentum rows of the combined
@@ -862,12 +908,33 @@ class PGModel:
     def _evo_matrix(self, ops, theta, Kv_e=None) -> ElementOperator:
         fe = self.fe
         Kv_e = ops["Kv_e"] if Kv_e is None else Kv_e
-        return ElementOperator(
+        base = ElementOperator(
             Ae=ops["M_e"] + theta * (ops["Kh_e"] + Kv_e),
             cd_rows=self.const["cd_b"],
             cd_cols=self.const["cd_b"],
             row_plan=fe.vec_plan_b,
         )
+        if self.wplan_b is None:
+            return base
+        from ..ops.window import WindowedScalar, blocked_scalar_tensor
+
+        return WindowedScalar(base, blocked_scalar_tensor(base.Ae, self.wplan_b),
+                              self.wplan_b)
+
+    def _mp_operator(self, ops):
+        fe = self.fe
+        base = ElementOperator(
+            Ae=ops["Mp_e"],
+            cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
+            cd_cols=jnp.asarray(fe.cd_p, jnp.int32),
+            row_plan=fe.vec_plan_p,
+        )
+        if self.wplan_p is None:
+            return base
+        from ..ops.window import WindowedScalar, blocked_scalar_tensor
+
+        return WindowedScalar(base, blocked_scalar_tensor(base.Ae, self.wplan_p),
+                              self.wplan_p)
 
     def _make_inv_precond(self, ops):
         c = self.const
@@ -877,12 +944,7 @@ class PGModel:
             return lambda r: r / jnp.asarray(scale, self.dtype), False
         # block Stokes preconditioner (flexible GMRES)
         visc = self._visc_operator(ops["visc_e"])
-        mp = ElementOperator(
-            Ae=ops["Mp_e"],
-            cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
-            cd_cols=jnp.asarray(fe.cd_p, jnp.int32),
-            row_plan=fe.vec_plan_p,
-        )
+        mp = self._mp_operator(ops)
         visc_op = MaskedOperator(visc, c["free_u"])
         mp_op = MaskedOperator(mp, c["free_inv"][self.fe.spaces.n_u:])
         # full (nonsymmetric) velocity block for the inner_gmres method

@@ -1,0 +1,519 @@
+"""Windowed one-hot MXU gather/scatter: the Pallas TPU matvec kernel.
+
+XLA prices unstructured gathers/scatters at ~10 ns per index on TPU;
+the element-local saddle matvec issues ~5M of them per application,
+which left the round-2 operator at ~1% of the HBM roofline (140 ms at
+0.87M dofs -- BENCH_r02/r03 section C).  This module removes the
+priced gathers entirely:
+
+  * FEData sorts cells by their smallest RCM velocity node, so any
+    block of B consecutive cells touches a CONTIGUOUS dof window of
+    width ~ the RCM bandwidth (measured <= 9.5k nodes at 0.87M dofs).
+  * Gather within a window runs on the MXU as a one-hot contraction:
+    with the window reshaped (W1, 128) and local index l = 128 a + t,
+      stage 1   G1 = dot(Xw (W1,128), OHa (W1,R))      -> (128, R)
+      stage 2   xe = sum_s(G1 * OHt (128,R), axis=0)   -> (1, R)
+    where OHa/OHt are one-hot masks built in-kernel from streamed
+    int32 index rows (iota-compare; rows with index -1 vanish).
+  * Scatter is the exact adjoint REUSING the same one-hots:
+      E  = OHt * broadcast(ye (1,R))                   -> (128, R)
+      Yw = dot(OHa (W1,R), E (128,R), contract R)      -> (W1, 128)
+    accumulated into the y window.  Duplicate dof targets sum inside
+    the MXU f32 accumulator (deterministic order).
+  * The element einsum y_e = A_e x_e runs cell-minor ((slots, B)
+    layout): whole-block tile + multiply (VPU), then a constant 0/1
+    block-sum matrix on the MXU.
+
+x and y ride as 128-lane component planes resident in VMEM for the
+whole grid pass (fits up to ~400k velocity nodes per chip; beyond
+that the DD path shards first and each shard fits).  Element tensors
+stream block-by-block through Pallas's pipelined BlockSpecs.
+
+This is the TPU-native replacement for the CUSPARSE SpMV role
+(reference ext/nuPGCMCUDAExt.jl:27) in the Krylov hot loop
+(reference src/inversion.jl:101-110, src/iterative_solvers.jl:31).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # import is safe everywhere; kernels only run on TPU/interpret
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class WindowPlan:
+    """Static block/window layout for one (space, cell-order) pair.
+
+    Hashable (content digest) so it can ride as a static jit arg; the
+    int32 index arrays are passed to kernels as TRACED args so they
+    never inline into the HLO (args-table-mode discipline,
+    models/model.py).
+    """
+
+    B: int            # cells per block
+    nb: int           # number of blocks
+    nlu: int          # primary-space dofs per cell (u: nodes)
+    nlp: int          # secondary-space dofs per cell (0 = scalar plan)
+    W1u: int          # primary window rows of 128
+    W1p: int
+    n_u_nodes: int
+    n_p: int
+    n_cells: int
+    w0u: np.ndarray   # (nb,) int32 window starts, 128-row units
+    w0p: np.ndarray
+    a_u: np.ndarray   # (nb, B*nlu) int32: local//128, -1 = masked
+    t_u: np.ndarray   # (nb, B*nlu) int32: local%128
+    a_p: np.ndarray
+    t_p: np.ndarray
+
+    def __post_init__(self):
+        h = hashlib.sha1()
+        for a in (self.w0u, self.w0p, self.a_u, self.t_u, self.a_p, self.t_p):
+            h.update(np.ascontiguousarray(a).tobytes())
+        object.__setattr__(self, "_digest", h.hexdigest())
+
+    def __hash__(self):
+        return hash((self.B, self.nb, self.nlu, self.nlp, self.W1u,
+                     self.W1p, self.n_u_nodes, self.n_p, self.n_cells,
+                     self._digest))
+
+    def __eq__(self, other):
+        return isinstance(other, WindowPlan) and hash(self) == hash(other)
+
+    def device_arrays(self):
+        """Index arrays as device arrays (cached); pass as jit args."""
+        if "_dev" not in self.__dict__:
+            nb = self.nb
+            # reshape in NumPy: a traced jnp reshape would leak tracers
+            # out of whatever transformation first touches the cache
+            object.__setattr__(self, "_dev", (
+                jnp.asarray(self.w0u), jnp.asarray(self.w0p),
+                jnp.asarray(self.a_u.reshape(nb, 1, -1)),
+                jnp.asarray(self.t_u.reshape(nb, 1, -1)),
+                jnp.asarray(self.a_p.reshape(nb, 1, -1)),
+                jnp.asarray(self.t_p.reshape(nb, 1, -1))))
+        return self.__dict__["_dev"]
+
+    @property
+    def nr_u(self) -> int:
+        return _ceil_to(max(self.n_u_nodes, 1), 128) // 128 + self.W1u
+
+    @property
+    def nr_p(self) -> int:
+        return _ceil_to(max(self.n_p, 1), 128) // 128 + self.W1p
+
+
+def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
+                      B: int = 128) -> WindowPlan:
+    """cd_u (nc, nlu) / cd_p (nc, nlp) in the window-sorted cell order
+    (cells ordered by min cd_u -- FEData guarantees this).  cd_p may
+    have width 0 for scalar plans."""
+    assert B % 128 == 0, "B must be a multiple of 128 (vreg lane tiles)"
+    cd_u = np.asarray(cd_u, np.int64)
+    cd_p = np.asarray(cd_p, np.int64)
+    nc, nlu = cd_u.shape
+    nlp = cd_p.shape[1]
+    nb = -(-nc // B)
+
+    def block_tables(cd, nl, anchor=None):
+        w0 = np.zeros(nb, np.int32)
+        a = np.full((nb, B * nl), -1, np.int32)
+        t = np.full((nb, B * nl), -1, np.int32)
+        if nl == 0:
+            return w0, a, t, 1
+        spans = []
+        for b in range(nb):
+            blk = cd[b * B:(b + 1) * B]
+            nr = blk.shape[0]  # real cells in this block
+            w0r = int(blk.min()) // 128
+            w0[b] = w0r
+            loc = blk - w0r * 128
+            spans.append(int(loc.max()) + 1)
+            # row order r = j*B + c (j-major): (1, R) reshapes to (nl, B)
+            aj = np.full((B, nl), -1, np.int64)
+            tj = np.full((B, nl), -1, np.int64)
+            aj[:nr] = loc // 128
+            tj[:nr] = loc % 128
+            a[b] = aj.T.reshape(-1)
+            t[b] = tj.T.reshape(-1)
+        W1 = max(1, _ceil_to(max(spans), 128) // 128)
+        return w0, a, t, W1
+
+    w0u, a_u, t_u, W1u = block_tables(cd_u, nlu)
+    w0p, a_p, t_p, W1p = block_tables(cd_p, nlp)
+    plan = WindowPlan(B=B, nb=nb, nlu=nlu, nlp=nlp, W1u=W1u, W1p=W1p,
+                      n_u_nodes=n_u_nodes, n_p=n_p, n_cells=nc,
+                      w0u=w0u, w0p=w0p, a_u=a_u, t_u=t_u, a_p=a_p, t_p=t_p)
+    plan.device_arrays()  # populate eagerly, OUTSIDE any jit trace
+    return plan
+
+
+# ----------------------------------------------------------------------
+# layout helpers (device, plain XLA)
+# ----------------------------------------------------------------------
+
+def to_planes(x: jnp.ndarray, n: int, nr: int) -> jnp.ndarray:
+    """(n,) or (n, k) dof vector -> (k*nr, 128) lane-plane layout
+    (nr >= ceil(n/128) so window slices never clip)."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    k = x.shape[1]
+    flat = jnp.zeros((k, nr * 128), x.dtype).at[:, :n].set(x.T)
+    return flat.reshape(k * nr, 128)
+
+
+def from_planes(planes: jnp.ndarray, n: int, k: int) -> jnp.ndarray:
+    """Inverse of to_planes: (k*nr, 128) -> (n, k) ((n,) if k == 1)."""
+    nr = planes.shape[0] // k
+    out = planes.reshape(k, nr * 128)[:, :n].T
+    return out[:, 0] if k == 1 else out
+
+
+def blocked_saddle_tensors(uu, up, pu, plan: WindowPlan):
+    """Canonical (nc, 3nlu, 3nlu) / (nc, 3nlu, nlp) / (nc, nlp, 3nlu)
+    element tensors -> the kernel's cell-minor blocked layout
+    (nb, rows*cols, B), with velocity dof axes re-indexed from the
+    canonical 3n+d to the kernel's d*nlu+n convention.  Pure XLA --
+    call inside jit; cost ~ one pass over the tensor bytes."""
+    nlu, nlp, B, nb = plan.nlu, plan.nlp, plan.B, plan.nb
+    nlu3 = 3 * nlu
+    perm = 3 * (np.arange(nlu3) % nlu) + np.arange(nlu3) // nlu
+
+    def blocked(T, nr_, nc_):
+        if T is None:
+            return None
+        if nc_ == nlu3:
+            T = T[:, :, perm]
+        if nr_ == nlu3:
+            T = T[:, perm, :]
+        npad = nb * B - T.shape[0]
+        T = jnp.pad(T, ((0, npad), (0, 0), (0, 0)))
+        return T.reshape(nb, B, nr_ * nc_).transpose(0, 2, 1)
+
+    return (blocked(uu, nlu3, nlu3), blocked(up, nlu3, nlp),
+            blocked(pu, nlp, nlu3))
+
+
+def blocked_scalar_tensor(Ae, plan: WindowPlan):
+    nl, B, nb = plan.nlu, plan.B, plan.nb
+    npad = nb * B - Ae.shape[0]
+    Ae = jnp.pad(Ae, ((0, npad), (0, 0), (0, 0)))
+    return Ae.reshape(nb, B, nl * nl).transpose(0, 2, 1)
+
+
+# ----------------------------------------------------------------------
+# kernel building blocks
+# ----------------------------------------------------------------------
+
+def _onehots(a_row, t_row, W1, dtype):
+    """One-hot masks from (1, R) int32 index rows (-1 vanishes)."""
+    R = a_row.shape[-1]
+    ia = jax.lax.broadcasted_iota(jnp.int32, (W1, R), 0)
+    it = jax.lax.broadcasted_iota(jnp.int32, (128, R), 0)
+    OHa = (ia == jnp.broadcast_to(a_row, (W1, R))).astype(dtype)
+    OHt = (it == jnp.broadcast_to(t_row, (128, R))).astype(dtype)
+    return OHa, OHt
+
+
+def _fold(row, nl, B):
+    """(1, nl*B) row -> (nl, B) via vreg-aligned lane slices + sublane
+    concat (B is a multiple of 128, so Mosaic never needs a relayout;
+    a plain reshape across the sublane/lane split is not lowerable)."""
+    return jnp.concatenate(
+        [row[:, j * B:(j + 1) * B] for j in range(nl)], axis=0)
+
+
+def _gather(x_ref, row0, W1, OHa, OHt, nl, B, dtype):
+    """Window gather -> (nl, B) element values (row j, lane c)."""
+    Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
+    G1 = jax.lax.dot_general(Xw, OHa, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=dtype)       # (128,R)
+    xe = jnp.sum(G1 * OHt, axis=0, keepdims=True)                # (1,R)
+    return _fold(xe, nl, B)
+
+
+def _scatter(y_ref, row0, W1, OHa, OHt, ye, dtype):
+    """Adjoint of _gather: accumulate (nl, B) values into the window.
+
+    Decomposed per local dof j (lane slices of the one-hots stay
+    vreg-aligned; a flat (1, nl*B) row concat is not lowerable):
+      Yw[q,t] += sum_c OHa[q, jB+c] * OHt[t, jB+c] * ye[j,c].
+    Duplicate targets accumulate inside the MXU f32 accumulator.
+    """
+    nl, B = ye.shape
+    Yw = jnp.zeros((W1, 128), dtype)
+    for j in range(nl):
+        sl = slice(j * B, (j + 1) * B)
+        Mj = OHt[:, sl] * jnp.broadcast_to(ye[j:j + 1, :], (128, B))
+        Yw = Yw + jax.lax.dot_general(OHa[:, sl], Mj,
+                                      (((1,), (1,)), ((), ())),
+                                      precision=jax.lax.Precision.HIGHEST,
+                                      preferred_element_type=dtype)
+    idx = pl.ds(row0, W1)
+    y_ref[idx, :] = y_ref[idx, :] + Yw
+
+
+def _apply_block(T_row, xe, nl_out, dtype):
+    """(nl_out*nl_in, B) element tensor rows x (nl_in, B) values ->
+    (nl_out, B): tile + multiply (VPU) + constant block-sum (MXU)."""
+    P = T_row * jnp.concatenate([xe] * nl_out, axis=0)
+    rows = P.shape[0]
+    nl_in = rows // nl_out
+    col_owner = jax.lax.broadcasted_iota(jnp.int32, (nl_out, rows), 1) // nl_in
+    RED = (col_owner
+           == jax.lax.broadcasted_iota(jnp.int32, (nl_out, rows), 0)
+           ).astype(dtype)
+    return jax.lax.dot_general(RED, P, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=dtype)
+
+
+# ----------------------------------------------------------------------
+# kernels ("full" saddle / "uu" velocity block / "up" coupling / scalar)
+# ----------------------------------------------------------------------
+
+def _saddle_kernel(plan, mode, dtype,
+                   w0u_ref, w0p_ref, *args):
+    nlu, nlp, B = plan.nlu, plan.nlp, plan.B
+    nlu3 = 3 * nlu
+    if mode == "full":
+        (uu_ref, up_ref, pu_ref, au_ref, tu_ref, ap_ref, tp_ref,
+         xu_ref, xp_ref, yu_ref, yp_ref) = args
+    elif mode == "uu":
+        uu_ref, au_ref, tu_ref, xu_ref, yu_ref = args
+    else:  # "up": velocity rows from pressure values
+        up_ref, au_ref, tu_ref, ap_ref, tp_ref, xp_ref, yu_ref = args
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        yu_ref[:] = jnp.zeros_like(yu_ref)
+        if mode == "full":
+            yp_ref[:] = jnp.zeros_like(yp_ref)
+
+    w0u = w0u_ref[b]
+    nr_u = yu_ref.shape[0] // 3
+    OHa_u, OHt_u = _onehots(au_ref[0], tu_ref[0], plan.W1u, dtype)
+    if mode != "uu":
+        w0p = w0p_ref[b]
+        OHa_p, OHt_p = _onehots(ap_ref[0], tp_ref[0], plan.W1p, dtype)
+
+    if mode != "up":
+        xe_u = jnp.concatenate([
+            _gather(xu_ref, d * nr_u + w0u, plan.W1u, OHa_u, OHt_u,
+                    nlu, B, dtype)
+            for d in range(3)
+        ], axis=0)                                             # (3nlu, B)
+    if mode != "uu":
+        xe_p = _gather(xp_ref, w0p, plan.W1p, OHa_p, OHt_p, nlp, B, dtype)
+
+    if mode == "full":
+        ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
+        ye_u = ye_u + _apply_block(up_ref[0], xe_p, nlu3, dtype)
+        ye_p = _apply_block(pu_ref[0], xe_u, nlp, dtype)
+    elif mode == "uu":
+        ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
+    else:
+        ye_u = _apply_block(up_ref[0], xe_p, nlu3, dtype)
+
+    for d in range(3):
+        _scatter(yu_ref, d * nr_u + w0u, plan.W1u, OHa_u, OHt_u,
+                 ye_u[d * nlu:(d + 1) * nlu], dtype)
+    if mode == "full":
+        _scatter(yp_ref, w0p, plan.W1p, OHa_p, OHt_p, ye_p, dtype)
+
+
+def _scalar_kernel(plan, dtype, w0_ref, ae_ref, a_ref, t_ref, x_ref, y_ref):
+    nl, B = plan.nlu, plan.B
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    w0 = w0_ref[b]
+    OHa, OHt = _onehots(a_ref[0], t_ref[0], plan.W1u, dtype)
+    xe = _gather(x_ref, w0, plan.W1u, OHa, OHt, nl, B, dtype)
+    ye = _apply_block(ae_ref[0], xe, nl, dtype)
+    _scatter(y_ref, w0, plan.W1u, OHa, OHt, ye, dtype)
+
+
+# ----------------------------------------------------------------------
+# host-callable wrappers (jit-safe; plan static, arrays traced)
+# ----------------------------------------------------------------------
+
+_INTERPRET = False  # flipped by tests to run kernels on CPU
+
+
+def _idx_spec(R):
+    return pl.BlockSpec((1, 1, R), lambda b, *_: (b, 0, 0))
+
+
+def _tensor_spec(rows, B):
+    return pl.BlockSpec((1, rows, B), lambda b, *_: (b, 0, 0))
+
+
+def _plane_spec(rows):
+    return pl.BlockSpec((rows, 128), lambda b, *_: (0, 0))
+
+
+def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
+                  mode: str = "full"):
+    """y = A x.  x flat (3*n_nodes [+ n_p],) in the node-major dof
+    layout (dof = 3*node + comp, then pressure).  ``mode``:
+    "full" (saddle), "uu" (velocity block only; x/y are (3n,)),
+    "up" (velocity rows from a pressure vector; x is (n_p,))."""
+    dtype = x.dtype
+    n, np_ = plan.n_u_nodes, plan.n_p
+    nr_u, nr_p = plan.nr_u, plan.nr_p
+    nlu3 = 3 * plan.nlu
+    # all 3 velocity components share the scalar node indices
+    R_u, R_p = plan.B * plan.nlu, plan.B * plan.nlp
+    w0u, w0p, a_u, t_u, a_p, t_p = plan.device_arrays()
+
+    if mode != "up":
+        xu = to_planes(x[:3 * n].reshape(n, 3), n, nr_u)
+    if mode != "uu":
+        xp = to_planes(x[3 * n:] if mode == "full" else x, np_, nr_p)
+
+    if mode == "full":
+        in_specs = [_tensor_spec(nlu3 * nlu3, plan.B),
+                    _tensor_spec(nlu3 * plan.nlp, plan.B),
+                    _tensor_spec(plan.nlp * nlu3, plan.B),
+                    _idx_spec(R_u), _idx_spec(R_u),
+                    _idx_spec(R_p), _idx_spec(R_p),
+                    _plane_spec(3 * nr_u), _plane_spec(nr_p)]
+        inputs = (uu_b, up_b, pu_b, a_u, t_u, a_p, t_p, xu, xp)
+        out_specs = [_plane_spec(3 * nr_u), _plane_spec(nr_p)]
+        out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype),
+                     jax.ShapeDtypeStruct((nr_p, 128), dtype)]
+    elif mode == "uu":
+        in_specs = [_tensor_spec(nlu3 * nlu3, plan.B),
+                    _idx_spec(R_u), _idx_spec(R_u), _plane_spec(3 * nr_u)]
+        inputs = (uu_b, a_u, t_u, xu)
+        out_specs = [_plane_spec(3 * nr_u)]
+        out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype)]
+    else:  # "up"
+        in_specs = [_tensor_spec(nlu3 * plan.nlp, plan.B),
+                    _idx_spec(R_u), _idx_spec(R_u),
+                    _idx_spec(R_p), _idx_spec(R_p), _plane_spec(nr_p)]
+        inputs = (up_b, a_u, t_u, a_p, t_p, xp)
+        out_specs = [_plane_spec(3 * nr_u)]
+        out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(plan.nb,),
+        in_specs=in_specs, out_specs=out_specs)
+    out = pl.pallas_call(
+        functools.partial(_saddle_kernel, plan, mode, dtype),
+        grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(w0u, w0p, *inputs)
+    yu = from_planes(out[0], n, 3).reshape(-1)
+    if mode == "full":
+        return jnp.concatenate([yu, from_planes(out[1], np_, 1)])
+    return yu
+
+
+def scalar_matvec(ae_b, x, plan: WindowPlan):
+    """y = A x for a scalar-space blocked element tensor."""
+    dtype = x.dtype
+    n, nr = plan.n_u_nodes, plan.nr_u
+    R = plan.B * plan.nlu
+    w0, _, a, t, _, _ = plan.device_arrays()
+    xpl = to_planes(x, n, nr)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(plan.nb,),
+        in_specs=[_tensor_spec(plan.nlu ** 2, plan.B),
+                  _idx_spec(R), _idx_spec(R), _plane_spec(nr)],
+        out_specs=[_plane_spec(nr)])
+    (y,) = pl.pallas_call(
+        functools.partial(_scalar_kernel, plan, dtype),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nr, 128), dtype)],
+        interpret=_INTERPRET,
+    )(w0, ae_b, a, t, xpl)
+    return from_planes(y, n, 1)
+
+
+# ----------------------------------------------------------------------
+# operator wrappers (drop-in for SaddleOperator / ElementOperator in
+# the Krylov hot loops; canonical operator retained for diagonals)
+# ----------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class WindowedSaddle:
+    """SaddleOperator facade whose matvec runs the Pallas windowed
+    kernel.  ``base`` (the canonical element operator) serves
+    diagonal() and any cold path; blocked tensors are computed in-jit
+    by the caller (XLA CSE dedups repeated construction)."""
+
+    def __init__(self, base, uu_b, up_b, pu_b, plan):
+        self.base = base
+        self.uu_b, self.up_b, self.pu_b = uu_b, up_b, pu_b
+        self.plan = plan
+
+    def tree_flatten(self):
+        return (self.base, self.uu_b, self.up_b, self.pu_b), self.plan
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, plan=aux)
+
+    def matvec(self, x):
+        mode = "full" if self.up_b is not None else "uu"
+        return saddle_matvec(self.uu_b, self.up_b, self.pu_b, x,
+                             self.plan, mode)
+
+    def up_matvec(self, p_vec):
+        return saddle_matvec(None, self.up_b, None, p_vec, self.plan, "up")
+
+    def diagonal(self):
+        return self.base.diagonal()
+
+    @property
+    def n_u_nodes(self):
+        return self.base.n_u_nodes
+
+
+@jax.tree_util.register_pytree_node_class
+class WindowedScalar:
+    """ElementOperator facade (scalar space) on the windowed kernel."""
+
+    def __init__(self, base, ae_b, plan):
+        self.base = base
+        self.ae_b = ae_b
+        self.plan = plan
+
+    def tree_flatten(self):
+        return (self.base, self.ae_b), self.plan
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, plan=aux)
+
+    def matvec(self, x):
+        return scalar_matvec(self.ae_b, x, self.plan)
+
+    def diagonal(self):
+        return self.base.diagonal()

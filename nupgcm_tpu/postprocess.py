@@ -143,4 +143,8 @@ def cfl_map(model, state):
     speed = np.asarray(jnp.linalg.norm(u_q, axis=-1).max(axis=1))
     nc = model.fe.mesh.n_cells
     h = np.asarray(model.fe.h_cells)[:nc]
-    return h / np.maximum(speed[:nc], 1e-12)
+    per_cell = h / np.maximum(speed[:nc], 1e-12)
+    # report in mesh-canonical cell order (fe tables are window-sorted)
+    out = np.empty(nc)
+    out[np.asarray(model.fe.cell_order)] = per_cell
+    return out

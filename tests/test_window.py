@@ -1,0 +1,133 @@
+"""Windowed one-hot MXU matvec kernels (ops/window.py).
+
+Runs the Pallas kernels in interpreter mode on CPU against the
+take-path element operators (ops/element.py) -- same element tensors,
+same dof tables, rel error ~1 ulp.  On-TPU validation is bench.py
+section D (the 50-step golden runs through the windowed path there).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nupgcm_tpu as npg
+from nupgcm_tpu.ops import window as W
+from nupgcm_tpu.ops.element import ElementOperator, SaddleOperator
+
+
+@pytest.fixture(scope="module")
+def setup():
+    W._INTERPRET = True
+    mesh = npg.generators.bowl3D(0.35, 0.5, nz=3)
+    spaces = npg.Spaces(mesh, u_diri_tags=[], u_diri_vals=[],
+                        b_diri_tags=[], b_diri_vals=[])
+    fe = npg.FEData(mesh, spaces)
+    rng = np.random.default_rng(0)
+    nc = fe.n_cells_padded
+    nlu, nlp = fe.cd_u.shape[1], fe.cd_p.shape[1]
+    tensors = {
+        "uu": jnp.asarray(rng.standard_normal((nc, 3 * nlu, 3 * nlu)), jnp.float32),
+        "up": jnp.asarray(rng.standard_normal((nc, 3 * nlu, nlp)), jnp.float32),
+        "pu": jnp.asarray(rng.standard_normal((nc, nlp, 3 * nlu)), jnp.float32),
+    }
+    yield fe, spaces, tensors, rng
+    W._INTERPRET = False
+
+
+def test_plan_invariants(setup):
+    fe, spaces, _, _ = setup
+    plan = W.build_window_plan(fe.cd_u, fe.cd_p, spaces.u_space.ndof,
+                               spaces.n_p, B=128)
+    assert plan.nb == -(-fe.n_cells_padded // 128)
+    # every unmasked index reconstructs its global dof
+    a = plan.a_u.reshape(plan.nb, fe.cd_u.shape[1], 128)
+    t = plan.t_u.reshape(plan.nb, fe.cd_u.shape[1], 128)
+    for b in range(plan.nb):
+        blk = fe.cd_u[b * 128:(b + 1) * 128]
+        g = (plan.w0u[b] * 128 + a[b] * 128 + t[b]).T[:len(blk)]
+        m = a[b].T[:len(blk)] >= 0
+        assert np.array_equal(g[m], blk[m])
+        assert m.all()  # no real cell masked
+        # window bound honored
+        assert (a[b][a[b] >= 0] < plan.W1u).all()
+
+
+def test_saddle_modes_match_take_path(setup):
+    fe, spaces, T, rng = setup
+    plan = W.build_window_plan(fe.cd_u, fe.cd_p, spaces.u_space.ndof,
+                               spaces.n_p, B=128)
+    uu_b, up_b, pu_b = W.blocked_saddle_tensors(T["uu"], T["up"], T["pu"], plan)
+    sop = SaddleOperator(
+        uu=T["uu"], up=T["up"], pu=T["pu"],
+        cd_u=jnp.asarray(fe.cd_u, jnp.int32),
+        cd_p=jnp.asarray(fe.cd_p, jnp.int32),
+        u_plan=fe.vec_plan_u_nodes, p_plan=fe.vec_plan_p,
+        n_u_nodes=spaces.u_space.ndof)
+    N = spaces.n_u + spaces.n_p
+    x = jnp.asarray(rng.standard_normal(N), jnp.float32)
+
+    y = np.asarray(W.saddle_matvec(uu_b, up_b, pu_b, x, plan, "full"))
+    y0 = np.asarray(sop.matvec(x))
+    assert np.abs(y - y0).max() < 2e-6 * np.abs(y0).max()
+
+    xu = x[:spaces.n_u]
+    yu = np.asarray(W.saddle_matvec(uu_b, None, None, xu, plan, "uu"))
+    vop = SaddleOperator(
+        uu=T["uu"], up=None, pu=None,
+        cd_u=jnp.asarray(fe.cd_u, jnp.int32),
+        cd_p=np.zeros((fe.n_cells_padded, 0), np.int32),
+        u_plan=fe.vec_plan_u_nodes, p_plan=fe.vec_plan_p,
+        n_u_nodes=spaces.u_space.ndof)
+    assert np.abs(yu - np.asarray(vop.matvec(xu))).max() < 2e-6 * np.abs(yu).max()
+
+    xp = x[spaces.n_u:]
+    yup = np.asarray(W.saddle_matvec(None, up_b, None, xp, plan, "up"))
+    assert np.abs(yup - np.asarray(sop.up_matvec(xp))).max() < 2e-6 * np.abs(yup).max()
+
+
+def test_scalar_matches_take_path(setup):
+    fe, spaces, _, rng = setup
+    nc = fe.n_cells_padded
+    nlb = fe.cd_b.shape[1]
+    ae = jnp.asarray(rng.standard_normal((nc, nlb, nlb)), jnp.float32)
+    bop = ElementOperator(Ae=ae, cd_rows=jnp.asarray(fe.cd_b, jnp.int32),
+                          cd_cols=jnp.asarray(fe.cd_b, jnp.int32),
+                          row_plan=fe.vec_plan_b)
+    plan = W.build_window_plan(fe.cd_b, np.zeros((nc, 0)), spaces.n_b, 0,
+                               B=128)
+    ae_b = W.blocked_scalar_tensor(ae, plan)
+    x = jnp.asarray(rng.standard_normal(spaces.n_b), jnp.float32)
+    y = np.asarray(W.scalar_matvec(ae_b, x, plan))
+    y0 = np.asarray(bop.matvec(x))
+    assert np.abs(y - y0).max() < 2e-6 * np.abs(y0).max()
+
+
+def test_planes_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((301, 3)), jnp.float32)
+    pl_ = W.to_planes(x, 301, 5)
+    assert pl_.shape == (15, 128)
+    back = W.from_planes(pl_, 301, 3)
+    assert np.array_equal(np.asarray(back), np.asarray(x))
+    v = jnp.asarray(rng.standard_normal(200), jnp.float32)
+    assert np.array_equal(
+        np.asarray(W.from_planes(W.to_planes(v, 200, 3), 200, 1)),
+        np.asarray(v))
+
+
+def test_model_windowed_flag_off_on_cpu():
+    """Auto mode must not enable the kernel on CPU."""
+    mesh = npg.generators.bowl2D(0.2, 0.5)
+    spaces = npg.Spaces(mesh, b_diri_tags=[], b_diri_vals=[])
+    fe = npg.FEData(mesh, spaces)
+    params = npg.Parameters(eps=0.3, alpha=0.5, mu_rho=1.0, N2=1.0,
+                            f=lambda x: 1.0 + 0 * x[1],
+                            H=lambda x: 0.5 * (1 - x[0] ** 2))
+    forc = npg.Forcings(nu=1.0, kappa_h=1e-2, kappa_v=1e-2, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    ts = npg.BDF2(t_start=0, t_stop=1.0, dt=0.1)
+    model = npg.PGModel(fe, params, forc, ts)
+    assert model.windowed is False
+    assert model.wplan is None
