@@ -10,24 +10,27 @@ Sections (each optional-failure-isolated; diagnostics on stderr):
      reference meshes/bowl3D_8.000000e-02_5.000000e-01.msh, ~186k
      inversion DoFs): converged inversion seconds + end-to-end BDF2
      steps/s.
-  C. ~1M-DoF bowl3D: SaddleOperator.matvec DOF/s per chip and the
-     achieved-vs-peak HBM bandwidth roofline (the matvec moves ~4.5KB
-     of element tensors per cell and does ~2 flops/byte -- it is
-     bandwidth-bound by ~50x, so the roofline is the bandwidth one);
-     plus full-step steps/s.
+  C. ~1M-DoF bowl3D: inversion-operator matvec DOF/s per chip for
+     BOTH paths -- the Pallas windowed one-hot kernel (ops/window.py,
+     the production TPU path) and the XLA take-path baseline -- plus
+     the achieved-vs-peak HBM bandwidth roofline (the matvec moves
+     ~4.5KB of element tensors per cell at ~2 flops/byte, so the
+     roofline is the bandwidth one) and full-step steps/s.
   D. TPU-dtype validation: 50-step bowl2D mixing in f32 under REAL
      TPU matmul semantics (the model default raises
      jax_default_matmul_precision to float32 -- models/model.py),
      compared against the committed f64 golden
      (tests/data/bowl_mixing_2d.npz) in the FE-integral norm.
      SURVEY §7(g): the 1e-3 bar asserted on the live chip.
-  E. matmul-precision cost: the same hot matvec under the bf16-default
-     vs the float32 policy, quantifying what the accuracy policy buys.
+  (The round-2 section E bf16-vs-f32 comparison is subsumed by C's
+  windowed-vs-take split: the windowed kernel pins its one-hot
+  contractions at full-f32 MXU precision explicitly.)
 
 Prints ONE JSON line: headline {"metric", "value", "unit",
 "vs_baseline"} plus the section metrics as extra keys.
 """
 
+import functools
 import gc
 import json
 import sys
@@ -224,11 +227,15 @@ def bench_1m_roofline():
 
     # the operator and its index tables ride as jit ARGUMENTS (args
     # table mode): nothing large may be inlined into the serialized
-    # HLO at this scale
-    @jax.jit
-    def mv_loop(tables, ops, free, x):
+    # HLO at this scale.  use_base=True times the plain take-path
+    # element operator; False the Pallas windowed kernel (the
+    # production path on TPU -- ops/window.py).
+    @functools.partial(jax.jit, static_argnames=("use_base",))
+    def mv_loop(tables, ops, free, x, use_base):
         with model._swap_tables(tables):
             Amat = model._inv_matrix(ops)
+        if use_base and hasattr(Amat, "base"):
+            Amat = Amat.base
         A = MaskedOperator(Amat, free)
 
         def body(i, x):
@@ -237,34 +244,40 @@ def bench_1m_roofline():
 
         return jax.lax.fori_loop(0, reps, body, x)
 
-    mv_loop_b = lambda x: mv_loop(tabs, model.ops, free_inv, x)
-
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal(N),
                      model.dtype)
-    t0 = time.time()
-    jax.block_until_ready(mv_loop_b(x0))
-    log(f"[C] matvec compile+first: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    jax.block_until_ready(mv_loop_b(x0))
-    t_app = (time.time() - t0) / reps
+
+    def timed(use_base):
+        t0 = time.time()
+        jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0, use_base))
+        log(f"[C] matvec ({'take' if use_base else 'windowed'}) "
+            f"compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0, use_base))
+        return (time.time() - t0) / reps
+
+    t_app = timed(False)          # production (windowed on TPU)
+    t_take = timed(True)          # XLA take-path baseline
     dof_per_s = N / t_app
 
-    # bytes per application: element tensors (read once) + gathered /
-    # scattered element vectors + the dof vectors; float32
+    # bytes per application: element tensors (read once) + index rows
+    # + the dof planes; float32
     nc = model.ops["A_uu_e"].shape[0]
     nlu3 = model.ops["A_uu_e"].shape[1]
     nlp = model.ops["A_up_e"].shape[2]
     fbytes = np.dtype(np.float32).itemsize
     elem_bytes = nc * (nlu3 * nlu3 + 2 * nlu3 * nlp) * fbytes
     vec_bytes = nc * (2 * (nlu3 + nlp)) * fbytes + 3 * N * fbytes
-    idx_bytes = nc * (nlu3 // 3 + nlp) * 4
+    idx_bytes = nc * (nlu3 // 3 + nlp) * 2 * 4
     total_bytes = elem_bytes + vec_bytes + idx_bytes
     gbps = total_bytes / t_app / 1e9
     peak = peak_bandwidth()
     frac = gbps / peak
-    log(f"[C] matvec {t_app * 1e3:.2f} ms, {dof_per_s / 1e6:.1f}M DOF/s, "
+    log(f"[C] matvec windowed {t_app * 1e3:.2f} ms vs take "
+        f"{t_take * 1e3:.2f} ms ({t_take / t_app:.1f}x); "
+        f"{dof_per_s / 1e6:.1f}M DOF/s, "
         f"{gbps:.0f} GB/s achieved = {100 * frac:.0f}% of {peak:.0f} GB/s peak "
-        f"(bytes/app: elem {elem_bytes / 1e6:.0f}MB + vec {vec_bytes / 1e6:.0f}MB)")
+        f"(bytes/app: elem {elem_bytes / 1e6:.0f}MB)")
 
     # full-step throughput at this scale
     state = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(
@@ -281,38 +294,16 @@ def bench_1m_roofline():
         f"(evo_it~{int(np.asarray(auxs['evo_iters']).mean())}, "
         f"inv_it~{int(np.asarray(auxs['inv_iters']).mean())})")
 
-    # Section E: the same matvec under the bf16 matmul default --
-    # quantifies the cost of the float32 accuracy policy
-    res = {}
-    with jax.default_matmul_precision("bfloat16"):
-        @jax.jit
-        def mv_loop_bf16(tables, ops, free, x):
-            with model._swap_tables(tables):
-                Amat = model._inv_matrix(ops)
-            A = MaskedOperator(Amat, free)
-
-            def body(i, x):
-                y = A(x)
-                return y / jnp.linalg.norm(y)
-
-            return jax.lax.fori_loop(0, reps, body, x)
-
-        jax.block_until_ready(mv_loop_bf16(tabs, model.ops, free_inv, x0))
-        t0 = time.time()
-        jax.block_until_ready(mv_loop_bf16(tabs, model.ops, free_inv, x0))
-        t_bf16 = (time.time() - t0) / reps
-    log(f"[E] matvec bf16-matmul {t_bf16 * 1e3:.2f} ms vs float32-policy "
-        f"{t_app * 1e3:.2f} ms ({t_app / t_bf16:.2f}x cost of accuracy)")
-
-    res.update({
+    res = {
         "n_dof_1m": N,
         "matvec_ms_1m": round(t_app * 1e3, 3),
+        "matvec_ms_1m_take_path": round(t_take * 1e3, 3),
+        "matvec_kernel_speedup": round(t_take / t_app, 2),
         "matvec_dof_per_s_1m": round(dof_per_s, 0),
         "matvec_gbps_1m": round(gbps, 1),
         "matvec_roofline_frac": round(frac, 3),
         "steps_per_s_1m": round(sps, 3),
-        "matvec_ms_1m_bf16": round(t_bf16 * 1e3, 3),
-    })
+    }
     del model
     gc.collect()
     return res

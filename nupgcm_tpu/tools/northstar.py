@@ -159,7 +159,9 @@ def main():
           flush=True)
 
     # ---- resume equivalence over the final segment ---------------------
-    last_ck = (args.steps // 250) * 250
+    # resume from the last checkpoint STRICTLY BEFORE the end so the
+    # equivalence check re-runs a real segment (steps=1000 -> ck 750)
+    last_ck = ((args.steps - 1) // 250) * 250
     ckf = os.path.join(args.out, f"northstar_{last_ck:06d}.npz")
     if os.path.exists(ckf) and last_ck < args.steps:
         st_r = model.run(ck.load_state(model, ckf), n_info=0,
