@@ -140,6 +140,16 @@ class PGModel:
         if table_mode == "auto":
             table_mode = "args" if fe.n_inv > 300_000 else "const"
         self.table_mode = table_mode
+        # Bounded default iteration budgets.  itmax=0 used to forward
+        # the solvers' "2n" cap: at production scale an f32 solve that
+        # stagnates ~1 decade above tol then spins for a ~day-long
+        # single dispatch, which the TPU runtime kills as a device
+        # error.  25 restart cycles / 1000 CG steps is far beyond any
+        # converging configuration.
+        if inv_itmax == 0:
+            inv_itmax = 25 * inv_memory
+        if evo_itmax == 0:
+            evo_itmax = 1000
         self.inv_opts = dict(atol=inv_atol, rtol=inv_rtol, itmax=inv_itmax, m=inv_memory)
         self.evo_opts = dict(atol=evo_atol, rtol=evo_rtol, itmax=evo_itmax)
         self.precond_kind = preconditioner
@@ -214,7 +224,7 @@ class PGModel:
             windowed = (_W.HAVE_PALLAS and backend == "tpu"
                         and dtype == jnp.float32)
         self.windowed = windowed
-        self.wplan = self.wplan_b = self.wplan_p = None
+        self.wplan = self.wplan_b = self.wplan_p = self.wplan_sc = None
         if windowed:
             from ..ops import window as _W
 
@@ -225,11 +235,15 @@ class PGModel:
                 fe.cd_b, np.zeros((fe.n_cells_padded, 0)), sp_.n_b, 0)
             self.wplan_p = _W.build_window_plan(
                 fe.cd_p, np.zeros((fe.n_cells_padded, 0)), sp_.n_p, 0)
+            # P1-P1 saddle-coarse system: vertex space on BOTH sides
+            self.wplan_sc = _W.build_window_plan(
+                fe.cd_p, fe.cd_p, sp_.p_space.ndof, sp_.p_space.ndof)
             # all-resident planes must fit VMEM next to the streamed
             # blocks; beyond this the DD path shards first
             if (6 * self.wplan.nr_u + 2 * self.wplan.nr_p) * 512 > 9e6:
                 self.windowed = False
-                self.wplan = self.wplan_b = self.wplan_p = None
+                self.wplan = None
+                self.wplan_b = self.wplan_p = self.wplan_sc = None
 
         import os as _os
         import time as _time
@@ -579,7 +593,7 @@ class PGModel:
 
     def _saddle_coarse_operator(self, ops) -> SaddleOperator:
         fe = self.fe
-        return SaddleOperator(
+        base = SaddleOperator(
             uu=ops["sc_uu"], up=ops["sc_up"], pu=ops["sc_pu"],
             pp=ops["sc_pp"],
             cd_u=np.asarray(fe.cd_p, np.int32),
@@ -587,6 +601,16 @@ class PGModel:
             u_plan=fe.vec_plan_p, p_plan=fe.vec_plan_p,
             n_u_nodes=fe.spaces.p_space.ndof,
         )
+        if self.wplan_sc is None:
+            return base
+        from ..ops.window import (WindowedSaddle, blocked_pp_tensor,
+                                  blocked_saddle_tensors)
+
+        uu_b, up_b, pu_b = blocked_saddle_tensors(
+            ops["sc_uu"], ops["sc_up"], ops["sc_pu"], self.wplan_sc)
+        pp_b = blocked_pp_tensor(ops["sc_pp"], self.wplan_sc)
+        return WindowedSaddle(base, uu_b, up_b, pu_b, self.wplan_sc,
+                              pp_b=pp_b)
 
     def _saddle_coarse_solver(self, ops, mp_op):
         """Inner coarse solve for the element-local path: FGMRES on
@@ -729,7 +753,7 @@ class PGModel:
         """Vector-P1 operator over vertex nodes (node-grouped gathers,
         same layout 3*vertex+comp as the coarse correction vectors)."""
         fe = self.fe
-        return SaddleOperator(
+        base = SaddleOperator(
             uu=coarse_e, up=None, pu=None,
             cd_u=np.asarray(fe.cd_p, np.int32),
             cd_p=np.zeros((coarse_e.shape[0], 0), np.int32),
@@ -737,6 +761,13 @@ class PGModel:
             p_plan=fe.vec_plan_p,
             n_u_nodes=fe.spaces.p_space.ndof,
         )
+        if self.wplan_sc is None:
+            return base
+        from ..ops.window import WindowedSaddle, blocked_saddle_tensors
+
+        uu_b, _, _ = blocked_saddle_tensors(coarse_e, None, None,
+                                            self.wplan_sc)
+        return WindowedSaddle(base, uu_b, None, None, self.wplan_sc)
 
     def _build_operators(self):
         fe, c, dt = self.fe, self.const, self.dtype

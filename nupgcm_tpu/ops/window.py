@@ -212,6 +212,14 @@ def blocked_saddle_tensors(uu, up, pu, plan: WindowPlan):
             blocked(pu, nlp, nlu3))
 
 
+def blocked_pp_tensor(pp, plan: WindowPlan):
+    """(nc, nlp, nlp) pressure-pressure block -> (nb, nlp*nlp, B)."""
+    nlp, B, nb = plan.nlp, plan.B, plan.nb
+    npad = nb * B - pp.shape[0]
+    pp = jnp.pad(pp, ((0, npad), (0, 0), (0, 0)))
+    return pp.reshape(nb, B, nlp * nlp).transpose(0, 2, 1)
+
+
 def blocked_scalar_tensor(Ae, plan: WindowPlan):
     nl, B, nb = plan.nlu, plan.B, plan.nb
     npad = nb * B - Ae.shape[0]
@@ -295,7 +303,10 @@ def _saddle_kernel(plan, mode, dtype,
                    w0u_ref, w0p_ref, *args):
     nlu, nlp, B = plan.nlu, plan.nlp, plan.B
     nlu3 = 3 * nlu
-    if mode == "full":
+    if mode == "full_pp":
+        (uu_ref, up_ref, pu_ref, pp_ref, au_ref, tu_ref, ap_ref, tp_ref,
+         xu_ref, xp_ref, yu_ref, yp_ref) = args
+    elif mode == "full":
         (uu_ref, up_ref, pu_ref, au_ref, tu_ref, ap_ref, tp_ref,
          xu_ref, xp_ref, yu_ref, yp_ref) = args
     elif mode == "uu":
@@ -308,7 +319,7 @@ def _saddle_kernel(plan, mode, dtype,
     @pl.when(b == 0)
     def _():
         yu_ref[:] = jnp.zeros_like(yu_ref)
-        if mode == "full":
+        if mode in ("full", "full_pp"):
             yp_ref[:] = jnp.zeros_like(yp_ref)
 
     w0u = w0u_ref[b]
@@ -327,10 +338,12 @@ def _saddle_kernel(plan, mode, dtype,
     if mode != "uu":
         xe_p = _gather(xp_ref, w0p, plan.W1p, OHa_p, OHt_p, nlp, B, dtype)
 
-    if mode == "full":
+    if mode in ("full", "full_pp"):
         ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
         ye_u = ye_u + _apply_block(up_ref[0], xe_p, nlu3, dtype)
         ye_p = _apply_block(pu_ref[0], xe_u, nlp, dtype)
+        if mode == "full_pp":
+            ye_p = ye_p + _apply_block(pp_ref[0], xe_p, nlp, dtype)
     elif mode == "uu":
         ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
     else:
@@ -339,7 +352,7 @@ def _saddle_kernel(plan, mode, dtype,
     for d in range(3):
         _scatter(yu_ref, d * nr_u + w0u, plan.W1u, OHa_u, OHt_u,
                  ye_u[d * nlu:(d + 1) * nlu], dtype)
-    if mode == "full":
+    if mode in ("full", "full_pp"):
         _scatter(yp_ref, w0p, plan.W1p, OHa_p, OHt_p, ye_p, dtype)
 
 
@@ -378,11 +391,12 @@ def _plane_spec(rows):
 
 
 def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
-                  mode: str = "full"):
+                  mode: str = "full", pp_b=None):
     """y = A x.  x flat (3*n_nodes [+ n_p],) in the node-major dof
     layout (dof = 3*node + comp, then pressure).  ``mode``:
-    "full" (saddle), "uu" (velocity block only; x/y are (3n,)),
-    "up" (velocity rows from a pressure vector; x is (n_p,))."""
+    "full" (saddle; "full_pp" adds a pressure-pressure block, the
+    BP-stabilized P1-P1 coarse system), "uu" (velocity block only;
+    x/y are (3n,)), "up" (velocity rows from a pressure vector)."""
     dtype = x.dtype
     n, np_ = plan.n_u_nodes, plan.n_p
     nr_u, nr_p = plan.nr_u, plan.nr_p
@@ -394,16 +408,20 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
     if mode != "up":
         xu = to_planes(x[:3 * n].reshape(n, 3), n, nr_u)
     if mode != "uu":
-        xp = to_planes(x[3 * n:] if mode == "full" else x, np_, nr_p)
+        xp = to_planes(x[3 * n:] if mode != "up" else x, np_, nr_p)
 
-    if mode == "full":
+    if mode in ("full", "full_pp"):
         in_specs = [_tensor_spec(nlu3 * nlu3, plan.B),
                     _tensor_spec(nlu3 * plan.nlp, plan.B),
-                    _tensor_spec(plan.nlp * nlu3, plan.B),
-                    _idx_spec(R_u), _idx_spec(R_u),
-                    _idx_spec(R_p), _idx_spec(R_p),
-                    _plane_spec(3 * nr_u), _plane_spec(nr_p)]
-        inputs = (uu_b, up_b, pu_b, a_u, t_u, a_p, t_p, xu, xp)
+                    _tensor_spec(plan.nlp * nlu3, plan.B)]
+        inputs = [uu_b, up_b, pu_b]
+        if mode == "full_pp":
+            in_specs.append(_tensor_spec(plan.nlp ** 2, plan.B))
+            inputs.append(pp_b)
+        in_specs += [_idx_spec(R_u), _idx_spec(R_u),
+                     _idx_spec(R_p), _idx_spec(R_p),
+                     _plane_spec(3 * nr_u), _plane_spec(nr_p)]
+        inputs += [a_u, t_u, a_p, t_p, xu, xp]
         out_specs = [_plane_spec(3 * nr_u), _plane_spec(nr_p)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype),
                      jax.ShapeDtypeStruct((nr_p, 128), dtype)]
@@ -430,7 +448,7 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
         interpret=_INTERPRET,
     )(w0u, w0p, *inputs)
     yu = from_planes(out[0], n, 3).reshape(-1)
-    if mode == "full":
+    if mode in ("full", "full_pp"):
         return jnp.concatenate([yu, from_planes(out[1], np_, 1)])
     return yu
 
@@ -468,19 +486,25 @@ class WindowedSaddle:
     diagonal() and any cold path; blocked tensors are computed in-jit
     by the caller (XLA CSE dedups repeated construction)."""
 
-    def __init__(self, base, uu_b, up_b, pu_b, plan):
+    def __init__(self, base, uu_b, up_b, pu_b, plan, pp_b=None):
         self.base = base
         self.uu_b, self.up_b, self.pu_b = uu_b, up_b, pu_b
+        self.pp_b = pp_b
         self.plan = plan
 
     def tree_flatten(self):
-        return (self.base, self.uu_b, self.up_b, self.pu_b), self.plan
+        return (self.base, self.uu_b, self.up_b, self.pu_b, self.pp_b), \
+            self.plan
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, plan=aux)
+        base, uu_b, up_b, pu_b, pp_b = children
+        return cls(base, uu_b, up_b, pu_b, plan=aux, pp_b=pp_b)
 
     def matvec(self, x):
+        if self.pp_b is not None:
+            return saddle_matvec(self.uu_b, self.up_b, self.pu_b, x,
+                                 self.plan, "full_pp", pp_b=self.pp_b)
         mode = "full" if self.up_b is not None else "uu"
         return saddle_matvec(self.uu_b, self.up_b, self.pu_b, x,
                              self.plan, mode)

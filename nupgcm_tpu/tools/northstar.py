@@ -59,7 +59,14 @@ def build_model():
     fe = npg.FEData(mesh, spaces)
     dt = 1e-4 * mu / (alpha * eps) ** 2
     ts = npg.BDF2(t_start=0, t_stop=2000 * dt, dt=dt)
-    return npg.PGModel(fe, params, forc, ts), mesh_src
+    # f32's tightest reachable Krylov tolerances (~1e-7/1e-8): the
+    # default 1e-6 leaves the 3D trajectory ~1e-2 from the reference
+    # golden after 50 steps; these hold the 1e-3 bar (same policy as
+    # tests/test_golden_reference.py f32 variants)
+    model = npg.PGModel(fe, params, forc, ts,
+                        inv_atol=1e-7, inv_rtol=1e-7,
+                        evo_atol=1e-8, evo_rtol=1e-8)
+    return model, mesh_src
 
 
 def rel_l2(fe, vals, ref, cd, phi):

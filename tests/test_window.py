@@ -131,3 +131,28 @@ def test_model_windowed_flag_off_on_cpu():
     model = npg.PGModel(fe, params, forc, ts)
     assert model.windowed is False
     assert model.wplan is None
+
+
+def test_full_pp_matches_take_path(setup):
+    """P1-P1 coarse saddle shape: pp block included (BP stabilization,
+    models/model.py _saddle_coarse_operator)."""
+    fe, spaces, _, rng = setup
+    nv = spaces.p_space.ndof
+    nc = fe.n_cells_padded
+    nlp = fe.cd_p.shape[1]
+    T = {k: jnp.asarray(rng.standard_normal(s), jnp.float32) for k, s in {
+        "uu": (nc, 3 * nlp, 3 * nlp), "up": (nc, 3 * nlp, nlp),
+        "pu": (nc, nlp, 3 * nlp), "pp": (nc, nlp, nlp)}.items()}
+    sop = SaddleOperator(
+        uu=T["uu"], up=T["up"], pu=T["pu"], pp=T["pp"],
+        cd_u=jnp.asarray(fe.cd_p, jnp.int32),
+        cd_p=jnp.asarray(fe.cd_p, jnp.int32),
+        u_plan=fe.vec_plan_p, p_plan=fe.vec_plan_p, n_u_nodes=nv)
+    plan = W.build_window_plan(fe.cd_p, fe.cd_p, nv, nv, B=128)
+    uu_b, up_b, pu_b = W.blocked_saddle_tensors(T["uu"], T["up"], T["pu"], plan)
+    pp_b = W.blocked_pp_tensor(T["pp"], plan)
+    x = jnp.asarray(rng.standard_normal(4 * nv), jnp.float32)
+    y = np.asarray(W.saddle_matvec(uu_b, up_b, pu_b, x, plan, "full_pp",
+                                   pp_b=pp_b))
+    y0 = np.asarray(sop.matvec(x))
+    assert np.abs(y - y0).max() < 2e-6 * np.abs(y0).max()
