@@ -391,19 +391,24 @@ def _plane_spec(rows):
 
 
 def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
-                  mode: str = "full", pp_b=None):
+                  mode: str = "full", pp_b=None, tables=None):
     """y = A x.  x flat (3*n_nodes [+ n_p],) in the node-major dof
     layout (dof = 3*node + comp, then pressure).  ``mode``:
     "full" (saddle; "full_pp" adds a pressure-pressure block, the
     BP-stabilized P1-P1 coarse system), "uu" (velocity block only;
-    x/y are (3n,)), "up" (velocity rows from a pressure vector)."""
+    x/y are (3n,)), "up" (velocity rows from a pressure vector).
+    ``tables`` overrides the plan's baked index arrays with traced
+    ones -- (w0u, w0p, a_u, t_u, a_p, t_p), shapes (nb,) / (nb,1,R)
+    -- so one static plan can serve per-shard tables in the DD step
+    (parallel/dd.py)."""
     dtype = x.dtype
     n, np_ = plan.n_u_nodes, plan.n_p
     nr_u, nr_p = plan.nr_u, plan.nr_p
     nlu3 = 3 * plan.nlu
     # all 3 velocity components share the scalar node indices
     R_u, R_p = plan.B * plan.nlu, plan.B * plan.nlp
-    w0u, w0p, a_u, t_u, a_p, t_p = plan.device_arrays()
+    w0u, w0p, a_u, t_u, a_p, t_p = (plan.device_arrays()
+                                    if tables is None else tables)
 
     if mode != "up":
         xu = to_planes(x[:3 * n].reshape(n, 3), n, nr_u)
@@ -453,12 +458,16 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
     return yu
 
 
-def scalar_matvec(ae_b, x, plan: WindowPlan):
-    """y = A x for a scalar-space blocked element tensor."""
+def scalar_matvec(ae_b, x, plan: WindowPlan, tables=None):
+    """y = A x for a scalar-space blocked element tensor.  ``tables``
+    overrides the plan's index arrays with traced (w0, a, t)."""
     dtype = x.dtype
     n, nr = plan.n_u_nodes, plan.nr_u
     R = plan.B * plan.nlu
-    w0, _, a, t, _, _ = plan.device_arrays()
+    if tables is None:
+        w0, _, a, t, _, _ = plan.device_arrays()
+    else:
+        w0, a, t = tables
     xpl = to_planes(x, n, nr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(plan.nb,),

@@ -83,7 +83,8 @@ class DDModel:
         state = dd.run(model.rest_state(), max_steps=10)
     """
 
-    def __init__(self, model, n_shards: int, mesh: Mesh = None):
+    def __init__(self, model, n_shards: int, mesh: Mesh = None,
+                 windowed: bool = None):
         self.model = model
         self.S = int(n_shards)
         self.mesh = mesh if mesh is not None else make_device_mesh(n_shards)
@@ -108,6 +109,7 @@ class DDModel:
 
         self._build_partition()
         self._build_tables()
+        self._build_windows(windowed)
         self._build_step()
 
     # ------------------------------------------------------------------
@@ -139,6 +141,14 @@ class DDModel:
         valid = np.zeros((S, nc_max), dtype=bool)
         for s in range(S):
             ids = np.where(owner == s)[0]
+            # order each shard's batch by smallest velocity node with
+            # pad cells last (mirrors FEData's global cell sort): any
+            # run of consecutive cells then touches a narrow contiguous
+            # dof window, which the per-shard windowed matvec kernels
+            # (_build_windows) rely on; the take-path is order-agnostic
+            key = np.where(is_pad[ids], np.iinfo(np.int64).max,
+                           cd_u[ids].min(axis=1))
+            ids = ids[np.argsort(key, kind="stable")]
             order[s, : len(ids)] = ids
             # fe pad cells (zero quadrature weight) carry all-zero dof
             # rows that would fall outside far shards' halo windows --
@@ -335,6 +345,87 @@ class DDModel:
         self.tables_repl = tr
 
     # ------------------------------------------------------------------
+    # windowed (Pallas one-hot MXU) per-shard matvec plans
+    # ------------------------------------------------------------------
+    def _build_windows(self, windowed):
+        """Per-shard WindowPlans over the EXTENDED (halo) index space.
+
+        The Krylov-hot shard matvecs (saddle, visc, u-block, up, Mp,
+        evolution) then run the ops/window.py Pallas kernels instead of
+        XLA's priced per-index take/segment_sum path -- the same ~10x
+        win the single-device operators get (BENCH section C), composed
+        with the O(halo) ppermute exchange: exchange -> windowed kernel
+        over the extended vector -> fold-back.  Each shard's cell batch
+        is sorted by smallest velocity node (_build_partition), so its
+        window widths track the PER-SHARD RCM bandwidth (narrower than
+        the global one).  Index tables ride as sharded jit args; one
+        static plan (widths maxed across shards) serves every shard.
+
+        ``windowed=None`` auto-enables on TPU in f32 when Pallas is
+        available and the per-shard extended planes fit in VMEM.
+        """
+        from ..ops import window as W_
+
+        self.windowed = False
+        self.wplan = self.wplan_b = self.wplan_p = None
+        if windowed is None:
+            try:
+                backend = jax.default_backend()
+            except Exception:  # pragma: no cover
+                backend = "cpu"
+            windowed = (W_.HAVE_PALLAS and backend == "tpu"
+                        and self.model.dtype == jnp.float32)
+        if not windowed:
+            return
+        S, t = self.S, self.tables
+        pu_, pp_, pb_ = self.part_u, self.part_p, self.part_b
+
+        def fix(cd):
+            """Invalid slots (pad cells / overflow) carry ext id 0,
+            which would drag every window to row 0: copy the last
+            valid row instead (their element tensors are zero, so
+            they gather/scatter exact no-ops inside a tight window)."""
+            cd = np.array(cd)
+            for s in range(S):
+                nval = int(self.cell_valid[s].sum())
+                if 0 < nval < cd.shape[1]:
+                    cd[s, nval:] = cd[s, nval - 1]
+            return cd
+
+        def plans(cd_a, cd_b2, n_a, n_b2):
+            import dataclasses
+
+            ps = [W_.build_window_plan(cd_a[s], cd_b2[s], n_a, n_b2)
+                  for s in range(S)]
+            plan = dataclasses.replace(ps[0],
+                                       W1u=max(p.W1u for p in ps),
+                                       W1p=max(p.W1p for p in ps))
+            nb = plan.nb
+            stk = lambda f: np.stack([f(p) for p in ps])
+            tabs = (stk(lambda p: p.w0u), stk(lambda p: p.w0p),
+                    stk(lambda p: p.a_u.reshape(nb, 1, -1)),
+                    stk(lambda p: p.t_u.reshape(nb, 1, -1)),
+                    stk(lambda p: p.a_p.reshape(nb, 1, -1)),
+                    stk(lambda p: p.t_p.reshape(nb, 1, -1)))
+            return plan, tabs
+
+        cd_u, cd_p, cd_b = fix(t["cd_u"]), fix(t["cd_p"]), fix(t["cd_b"])
+        z = np.zeros((S, self.nc_max, 0), np.int64)
+        wplan, wtab = plans(cd_u, cd_p, pu_.ext_len, pp_.ext_len)
+        # per-shard VMEM residency bound (same rule as PGModel): the
+        # extended x/y planes live in VMEM for the whole grid pass
+        if (6 * wplan.nr_u + 2 * wplan.nr_p) * 512 > 9e6:
+            return
+        wplan_b, wtab_b = plans(cd_b, z, pb_.ext_len, 0)
+        wplan_p, wtab_p = plans(cd_p, z, pp_.ext_len, 0)
+        for name, arr in zip(("w0u", "w0p", "au", "tu", "ap", "tp"), wtab):
+            t["win_" + name] = arr
+        t["winb_w0"], t["winb_a"], t["winb_t"] = wtab_b[0], wtab_b[2], wtab_b[3]
+        t["winp_w0"], t["winp_a"], t["winp_t"] = wtab_p[0], wtab_p[2], wtab_p[3]
+        self.wplan, self.wplan_b, self.wplan_p = wplan, wplan_b, wplan_p
+        self.windowed = True
+
+    # ------------------------------------------------------------------
     # state conversion
     # ------------------------------------------------------------------
     def to_dd(self, state: State) -> dict:
@@ -443,6 +534,8 @@ class DDModel:
             return jax.ops.segment_sum(v, seg, num_segments=ext_nodes,
                                        indices_are_sorted=True).reshape(-1)
 
+        dd_win = self.windowed
+        wplan, wplan_b, wplan_p = self.wplan, self.wplan_b, self.wplan_p
         has_coarse = self.has_saddle_coarse
         sc_dense = has_coarse and "sc_inv" in self.tables_repl
         sc_inner_k = m.saddle_coarse_inner if has_coarse else 0
@@ -483,53 +576,108 @@ class DDModel:
             # ---- operators -------------------------------------------
             free_u, free_b, free_p = t["free_u"], t["free_b"], t["free_p"]
 
-            def saddle_mv(x):
-                """masked saddle matvec on local [u | p]."""
-                xu, xp = x[: 3 * pu_.chunk], x[3 * pu_.chunk:]
-                xu_m, xp_m = xu * free_u, xp * free_p
-                xe_u = gath_u(xu_m)
-                xe_p = gath_p(xp_m)
-                yu_e = jnp.einsum("cij,cj->ci", Ae_uu, xe_u)
-                yu_e = yu_e + jnp.einsum("cij,cj->ci", Ae_up, xe_p)
-                yp_e = jnp.einsum("cij,cj->ci", Ae_pu, xe_u)
-                yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
-                                          t["seg_u"], pu_.ext_len), 3)
-                yp = fold_p(scatter(yp_e.reshape(-1), t["gperm_p"],
-                                    t["seg_p"], pp_.ext_len))
-                yu = jnp.where(free_u.astype(bool), yu, xu)
-                yp = jnp.where(free_p.astype(bool), yp, xp)
-                return jnp.concatenate([yu, yp])
+            if dd_win:
+                # Krylov-hot matvecs through the Pallas windowed one-hot
+                # kernels on this shard's EXTENDED vectors; exchange /
+                # fold-back and Dirichlet masking stay identical to the
+                # take-path below.  Blocked tensor layouts are formed
+                # in-jit (one pass over the tensor bytes per step, vs
+                # dozens of kernel reads) so the eddy/convection carried
+                # tensors need no separate layout.
+                from ..ops import window as W_
 
-            def visc_mv(xu):
-                xu_m = xu * free_u
-                xe_u = gath_u(xu_m)
-                yu_e = jnp.einsum("cij,cj->ci", t["visc_e"], xe_u)
-                yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
-                                          t["seg_u"], pu_.ext_len), 3)
-                return jnp.where(free_u.astype(bool), yu, xu)
+                wtab_u = (t["win_w0u"], t["win_w0p"], t["win_au"],
+                          t["win_tu"], t["win_ap"], t["win_tp"])
+                wtab_b = (t["winb_w0"], t["winb_a"], t["winb_t"])
+                wtab_p = (t["winp_w0"], t["winp_a"], t["winp_t"])
+                uu_w, up_w, pu_w = W_.blocked_saddle_tensors(
+                    Ae_uu, Ae_up, Ae_pu, wplan)
+                visc_w, _, _ = W_.blocked_saddle_tensors(
+                    t["visc_e"], None, None, wplan)
+                Mp_w = W_.blocked_scalar_tensor(t["Mp_e"], wplan_p)
+                eU = 3 * pu_.ext_len
 
-            def ublock_mv(xu):
-                xu_m = xu * free_u
-                xe_u = gath_u(xu_m)
-                yu_e = jnp.einsum("cij,cj->ci", Ae_uu, xe_u)
-                yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
-                                          t["seg_u"], pu_.ext_len), 3)
-                return jnp.where(free_u.astype(bool), yu, xu)
+                def saddle_mv(x):
+                    xu, xp = x[: 3 * pu_.chunk], x[3 * pu_.chunk:]
+                    xu_m, xp_m = xu * free_u, xp * free_p
+                    xe = jnp.concatenate([ex_u(xu_m, 3), ex_p(xp_m)])
+                    y = W_.saddle_matvec(uu_w, up_w, pu_w, xe, wplan,
+                                         "full", tables=wtab_u)
+                    yu = fold_u(y[:eU], 3)
+                    yp = fold_p(y[eU:])
+                    yu = jnp.where(free_u.astype(bool), yu, xu)
+                    yp = jnp.where(free_p.astype(bool), yp, xp)
+                    return jnp.concatenate([yu, yp])
 
-            def up_mv(xp):
-                xe_p = gath_p(xp)
-                yu_e = jnp.einsum("cij,cj->ci", Ae_up, xe_p)
-                return free_u * fold_u(
-                    scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
-                                  t["seg_u"], pu_.ext_len), 3)
+                def visc_mv(xu):
+                    y = W_.saddle_matvec(visc_w, None, None,
+                                         ex_u(xu * free_u, 3), wplan,
+                                         "uu", tables=wtab_u)
+                    return jnp.where(free_u.astype(bool), fold_u(y, 3), xu)
 
-            def mp_mv(xp):
-                xp_m = xp * free_p
-                xe_p = gath_p(xp_m)
-                yp_e = jnp.einsum("cij,cj->ci", t["Mp_e"], xe_p)
-                yp = fold_p(scatter(yp_e.reshape(-1), t["gperm_p"],
-                                    t["seg_p"], pp_.ext_len))
-                return jnp.where(free_p.astype(bool), yp, xp)
+                def ublock_mv(xu):
+                    y = W_.saddle_matvec(uu_w, None, None,
+                                         ex_u(xu * free_u, 3), wplan,
+                                         "uu", tables=wtab_u)
+                    return jnp.where(free_u.astype(bool), fold_u(y, 3), xu)
+
+                def up_mv(xp):
+                    y = W_.saddle_matvec(None, up_w, None, ex_p(xp), wplan,
+                                         "up", tables=wtab_u)
+                    return free_u * fold_u(y, 3)
+
+                def mp_mv(xp):
+                    y = W_.scalar_matvec(Mp_w, ex_p(xp * free_p), wplan_p,
+                                         tables=wtab_p)
+                    return jnp.where(free_p.astype(bool), fold_p(y), xp)
+            else:
+                def saddle_mv(x):
+                    """masked saddle matvec on local [u | p]."""
+                    xu, xp = x[: 3 * pu_.chunk], x[3 * pu_.chunk:]
+                    xu_m, xp_m = xu * free_u, xp * free_p
+                    xe_u = gath_u(xu_m)
+                    xe_p = gath_p(xp_m)
+                    yu_e = jnp.einsum("cij,cj->ci", Ae_uu, xe_u)
+                    yu_e = yu_e + jnp.einsum("cij,cj->ci", Ae_up, xe_p)
+                    yp_e = jnp.einsum("cij,cj->ci", Ae_pu, xe_u)
+                    yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
+                                              t["seg_u"], pu_.ext_len), 3)
+                    yp = fold_p(scatter(yp_e.reshape(-1), t["gperm_p"],
+                                        t["seg_p"], pp_.ext_len))
+                    yu = jnp.where(free_u.astype(bool), yu, xu)
+                    yp = jnp.where(free_p.astype(bool), yp, xp)
+                    return jnp.concatenate([yu, yp])
+
+                def visc_mv(xu):
+                    xu_m = xu * free_u
+                    xe_u = gath_u(xu_m)
+                    yu_e = jnp.einsum("cij,cj->ci", t["visc_e"], xe_u)
+                    yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
+                                              t["seg_u"], pu_.ext_len), 3)
+                    return jnp.where(free_u.astype(bool), yu, xu)
+
+                def ublock_mv(xu):
+                    xu_m = xu * free_u
+                    xe_u = gath_u(xu_m)
+                    yu_e = jnp.einsum("cij,cj->ci", Ae_uu, xe_u)
+                    yu = fold_u(scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
+                                              t["seg_u"], pu_.ext_len), 3)
+                    return jnp.where(free_u.astype(bool), yu, xu)
+
+                def up_mv(xp):
+                    xe_p = gath_p(xp)
+                    yu_e = jnp.einsum("cij,cj->ci", Ae_up, xe_p)
+                    return free_u * fold_u(
+                        scatter_rows3(yu_e.reshape(-1, 3), t["gperm_u"],
+                                      t["seg_u"], pu_.ext_len), 3)
+
+                def mp_mv(xp):
+                    xp_m = xp * free_p
+                    xe_p = gath_p(xp_m)
+                    yp_e = jnp.einsum("cij,cj->ci", t["Mp_e"], xe_p)
+                    yp = fold_p(scatter(yp_e.reshape(-1), t["gperm_p"],
+                                        t["seg_p"], pp_.ext_len))
+                    return jnp.where(free_p.astype(bool), yp, xp)
 
             # ---- CFL dt ----------------------------------------------
             dt_old = dtv
@@ -590,13 +738,21 @@ class DDModel:
 
             evo_Ae = t["M_e"] + theta * (t["Kh_e"] + Kv_e)
 
-            def evo_mv(x):
-                x_m = x * free_b
-                xe = gath_b(x_m)
-                ye = jnp.einsum("cij,cj->ci", evo_Ae, xe)
-                y = fold_b(scatter(ye.reshape(-1), t["gperm_b"], t["seg_b"],
-                                   pb_.ext_len))
-                return jnp.where(free_b.astype(bool), y, x)
+            if dd_win:
+                evo_w = W_.blocked_scalar_tensor(evo_Ae, wplan_b)
+
+                def evo_mv(x):
+                    y = W_.scalar_matvec(evo_w, ex_b(x * free_b), wplan_b,
+                                         tables=wtab_b)
+                    return jnp.where(free_b.astype(bool), fold_b(y), x)
+            else:
+                def evo_mv(x):
+                    x_m = x * free_b
+                    xe = gath_b(x_m)
+                    ye = jnp.einsum("cij,cj->ci", evo_Ae, xe)
+                    y = fold_b(scatter(ye.reshape(-1), t["gperm_b"],
+                                       t["seg_b"], pb_.ext_len))
+                    return jnp.where(free_b.astype(bool), y, x)
 
             # Jacobi diag of the evolution LHS (masked)
             de = jnp.einsum("cii->ci", evo_Ae)
