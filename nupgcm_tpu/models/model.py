@@ -641,11 +641,14 @@ class PGModel:
         # runs smooth the full (nonsymmetric) coarse uu block
         cuu = MaskedOperator(self._coarse_operator(ops["sc_uu"]),
                              c["tg_coarse_free"])
+        scv_dinv = ops.get("sc_visc_dinv")
+        mp_dinv = ops.get("mp_dinv")
         Mc = BlockStokesPrecond(
             visc_op=cvisc,
-            visc_diag_inv=1.0 / cvisc.diagonal(),
+            visc_diag_inv=(1.0 / cvisc.diagonal()
+                           if scv_dinv is None else scv_dinv),
             mp_op=mp_op,
-            mp_diag_inv=1.0 / mp_op.diagonal(),
+            mp_diag_inv=1.0 / mp_op.diagonal() if mp_dinv is None else mp_dinv,
             nu_dofs=3 * nv,
             inner_iters_u=6 if self.inner_method == "inner_gmres" else 3,
             inner_iters_p=3,
@@ -876,6 +879,33 @@ class PGModel:
             if _dbg:
                 print(f"[build]   saddle_coarse {_time.time() - _t0:.1f}s", flush=True)
 
+        # Preconditioner block diagonals, hoisted out of the per-step
+        # trace (they are loop-invariant: the visc/Mp/coarse tensors
+        # never change in-step, and the eddy rebuild swaps only the
+        # inversion blocks while keeping the preconditioner, reference
+        # src/model.jl:160-170).  Saves one full pass over the big
+        # velocity-block element tensor per step.
+        @jax.jit
+        def precond_diags(visc_e, Mp_e):
+            visc_op = MaskedOperator(self._visc_operator(visc_e), c["free_u"])
+            mp = ElementOperator(
+                Ae=Mp_e, cd_rows=jnp.asarray(fe.cd_p, jnp.int32),
+                cd_cols=jnp.asarray(fe.cd_p, jnp.int32),
+                row_plan=fe.vec_plan_p)
+            mp_op = MaskedOperator(mp, c["free_inv"][sp.n_u:])
+            return 1.0 / visc_op.diagonal(), 1.0 / mp_op.diagonal()
+
+        ops["visc_dinv"], ops["mp_dinv"] = precond_diags(
+            ops["visc_e"], ops["Mp_e"])
+        if "coarse_e" in ops:
+            cop_ = MaskedOperator(self._coarse_operator(ops["coarse_e"]),
+                                  c["tg_coarse_free"])
+            ops["coarse_dinv"] = 1.0 / cop_.diagonal()
+        if "sc_visc_e" in ops:
+            cvisc_ = MaskedOperator(self._coarse_operator(ops["sc_visc_e"]),
+                                    c["tg_coarse_free"])
+            ops["sc_visc_dinv"] = 1.0 / cvisc_.diagonal()
+
         # surface buoyancy-flux rhs (static; zero under Dirichlet BC)
         if isinstance(fr.b_surface_bc, SurfaceFluxBC):
             flux_q = jnp.asarray(
@@ -998,7 +1028,9 @@ class PGModel:
                 cop = MaskedOperator(
                     self._coarse_operator(ops["coarse_e"]), c["tg_coarse_free"]
                 )
-                cdiag_inv = 1.0 / cop.diagonal()
+                cdiag_inv = ops.get("coarse_dinv")
+                if cdiag_inv is None:
+                    cdiag_inv = 1.0 / cop.diagonal()
 
                 def solve(rc):
                     zc, _ = cg(cop, rc, jnp.zeros_like(rc),
@@ -1036,11 +1068,14 @@ class PGModel:
                 n_vert=self.fe.spaces.p_space.ndof,
                 nu_dofs=self.fe.spaces.n_u,
             )
+        visc_dinv = ops.get("visc_dinv")
+        mp_dinv = ops.get("mp_dinv")
         M = BlockStokesPrecond(
             visc_op=visc_op,
-            visc_diag_inv=1.0 / visc_op.diagonal(),
+            visc_diag_inv=(1.0 / visc_op.diagonal()
+                           if visc_dinv is None else visc_dinv),
             mp_op=mp_op,
-            mp_diag_inv=1.0 / mp_op.diagonal(),
+            mp_diag_inv=1.0 / mp_op.diagonal() if mp_dinv is None else mp_dinv,
             nu_dofs=self.fe.spaces.n_u,
             inner_iters_u=iu,
             inner_iters_p=ip,

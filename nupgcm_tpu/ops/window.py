@@ -71,7 +71,7 @@ class WindowPlan:
     nb: int           # number of blocks
     nlu: int          # primary-space dofs per cell (u: nodes)
     nlp: int          # secondary-space dofs per cell (0 = scalar plan)
-    W1u: int          # primary window rows of 128
+    W1u: int          # primary window rows of 128 (max over blocks)
     W1p: int
     n_u_nodes: int
     n_p: int
@@ -82,17 +82,27 @@ class WindowPlan:
     t_u: np.ndarray   # (nb, B*nlu) int32: local%128
     a_p: np.ndarray
     t_p: np.ndarray
+    # per-block width buckets: blocks are permuted by bperm (applied to
+    # w0/a/t here AND to the blocked element tensors by blocked_*) so
+    # each bucket is a contiguous block range run as its own
+    # pallas_call with a narrower window -- interior blocks stop
+    # paying the global-max W1 padding.  None = single bucket.
+    buckets: tuple = None   # ((nb_i, W1u_i, W1p_i), ...)
+    bperm: np.ndarray = None
 
     def __post_init__(self):
         h = hashlib.sha1()
-        for a in (self.w0u, self.w0p, self.a_u, self.t_u, self.a_p, self.t_p):
+        arrs = [self.w0u, self.w0p, self.a_u, self.t_u, self.a_p, self.t_p]
+        if self.bperm is not None:
+            arrs.append(self.bperm)
+        for a in arrs:
             h.update(np.ascontiguousarray(a).tobytes())
         object.__setattr__(self, "_digest", h.hexdigest())
 
     def __hash__(self):
         return hash((self.B, self.nb, self.nlu, self.nlp, self.W1u,
                      self.W1p, self.n_u_nodes, self.n_p, self.n_cells,
-                     self._digest))
+                     self.buckets, self._digest))
 
     def __eq__(self, other):
         return isinstance(other, WindowPlan) and hash(self) == hash(other)
@@ -121,10 +131,17 @@ class WindowPlan:
 
 
 def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
-                      B: int = 128) -> WindowPlan:
+                      B: int = 128, bucketed: bool = True) -> WindowPlan:
     """cd_u (nc, nlu) / cd_p (nc, nlp) in the window-sorted cell order
     (cells ordered by min cd_u -- FEData guarantees this).  cd_p may
-    have width 0 for scalar plans."""
+    have width 0 for scalar plans.
+
+    ``bucketed``: permute blocks by required window width and emit up
+    to 4 contiguous width buckets, each run as its own pallas_call
+    (the max-W1 padding otherwise taxes every interior block).  Must
+    be False when one static plan serves per-shard traced tables
+    (parallel/dd.py): the permutation is baked into the plan, and
+    per-shard permutations would disagree across shards."""
     assert B % 128 == 0, "B must be a multiple of 128 (vreg lane tiles)"
     cd_u = np.asarray(cd_u, np.int64)
     cd_p = np.asarray(cd_p, np.int64)
@@ -137,7 +154,7 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
         a = np.full((nb, B * nl), -1, np.int32)
         t = np.full((nb, B * nl), -1, np.int32)
         if nl == 0:
-            return w0, a, t, 1
+            return w0, a, t, np.ones(nb, np.int64)
         spans = []
         for b in range(nb):
             blk = cd[b * B:(b + 1) * B]
@@ -153,14 +170,46 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
             tj[:nr] = loc % 128
             a[b] = aj.T.reshape(-1)
             t[b] = tj.T.reshape(-1)
-        W1 = max(1, _ceil_to(max(spans), 128) // 128)
-        return w0, a, t, W1
+        # per-block required window rows of 128
+        return w0, a, t, np.maximum(1, _ceil_to(np.asarray(spans), 128) // 128)
 
-    w0u, a_u, t_u, W1u = block_tables(cd_u, nlu)
-    w0p, a_p, t_p, W1p = block_tables(cd_p, nlp)
+    w0u, a_u, t_u, w1u_blk = block_tables(cd_u, nlu)
+    w0p, a_p, t_p, w1p_blk = block_tables(cd_p, nlp)
+    W1u, W1p = int(w1u_blk.max()), int(w1p_blk.max())
+
+    buckets = bperm = None
+    if bucketed and nb > 1:
+        bperm = np.argsort(w1u_blk, kind="stable").astype(np.int64)
+        w1u_s, w1p_s = w1u_blk[bperm], w1p_blk[bperm]
+        # bucket edges at width quantiles; merged when degenerate
+        edges = sorted({min(nb, max(1, int(q * nb))) for q in
+                        (0.5, 0.75, 0.9, 1.0)})
+        bks, lo = [], 0
+        for hi in edges:
+            if hi <= lo:
+                continue
+            bks.append((hi - lo, int(w1u_s[lo:hi].max()),
+                        int(w1p_s[lo:hi].max())))
+            lo = hi
+        # merge adjacent buckets with identical widths
+        merged = [bks[0]]
+        for nb_i, a_i, p_i in bks[1:]:
+            if (a_i, p_i) == merged[-1][1:]:
+                merged[-1] = (merged[-1][0] + nb_i, a_i, p_i)
+            else:
+                merged.append((nb_i, a_i, p_i))
+        if len(merged) == 1:
+            buckets = bperm = None  # uniform widths: keep it simple
+        else:
+            buckets = tuple(merged)
+            w0u, a_u, t_u = w0u[bperm], a_u[bperm], t_u[bperm]
+            if nlp:
+                w0p, a_p, t_p = w0p[bperm], a_p[bperm], t_p[bperm]
+
     plan = WindowPlan(B=B, nb=nb, nlu=nlu, nlp=nlp, W1u=W1u, W1p=W1p,
                       n_u_nodes=n_u_nodes, n_p=n_p, n_cells=nc,
-                      w0u=w0u, w0p=w0p, a_u=a_u, t_u=t_u, a_p=a_p, t_p=t_p)
+                      w0u=w0u, w0p=w0p, a_u=a_u, t_u=t_u, a_p=a_p, t_p=t_p,
+                      buckets=buckets, bperm=bperm)
     plan.device_arrays()  # populate eagerly, OUTSIDE any jit trace
     return plan
 
@@ -206,7 +255,8 @@ def blocked_saddle_tensors(uu, up, pu, plan: WindowPlan):
             T = T[:, perm, :]
         npad = nb * B - T.shape[0]
         T = jnp.pad(T, ((0, npad), (0, 0), (0, 0)))
-        return T.reshape(nb, B, nr_ * nc_).transpose(0, 2, 1)
+        T = T.reshape(nb, B, nr_ * nc_).transpose(0, 2, 1)
+        return T if plan.bperm is None else T[jnp.asarray(plan.bperm)]
 
     return (blocked(uu, nlu3, nlu3), blocked(up, nlu3, nlp),
             blocked(pu, nlp, nlu3))
@@ -217,19 +267,65 @@ def blocked_pp_tensor(pp, plan: WindowPlan):
     nlp, B, nb = plan.nlp, plan.B, plan.nb
     npad = nb * B - pp.shape[0]
     pp = jnp.pad(pp, ((0, npad), (0, 0), (0, 0)))
-    return pp.reshape(nb, B, nlp * nlp).transpose(0, 2, 1)
+    pp = pp.reshape(nb, B, nlp * nlp).transpose(0, 2, 1)
+    return pp if plan.bperm is None else pp[jnp.asarray(plan.bperm)]
 
 
 def blocked_scalar_tensor(Ae, plan: WindowPlan):
     nl, B, nb = plan.nlu, plan.B, plan.nb
     npad = nb * B - Ae.shape[0]
     Ae = jnp.pad(Ae, ((0, npad), (0, 0), (0, 0)))
-    return Ae.reshape(nb, B, nl * nl).transpose(0, 2, 1)
+    Ae = Ae.reshape(nb, B, nl * nl).transpose(0, 2, 1)
+    return Ae if plan.bperm is None else Ae[jnp.asarray(plan.bperm)]
 
 
 # ----------------------------------------------------------------------
 # kernel building blocks
 # ----------------------------------------------------------------------
+
+def _split_ok(dtype):
+    """The 3-term bf16 split below is exact for f32 data; for other
+    dtypes (f64 on the CPU interpreter) fall back to HIGHEST dots."""
+    return dtype == jnp.float32
+
+
+def _mxu_dot(lhs, rhs, dims, dtype, split):
+    """dot_general at full f32 accuracy on the MXU.
+
+    ``split`` names the data side ("lhs"/"rhs") when the OTHER side is
+    exactly bf16-representable (the 0/1 one-hot masks here): the data
+    splits as x = x1+x2+x3 with xi = bf16 EXACTLY (8+8+8 mantissa bits
+    cover f32's 24; each residual subtraction is exact), so three
+    native-bf16 MXU passes reproduce the f32 product bit-for-bit up to
+    accumulation order -- 2x the rate of Precision.HIGHEST's 6-pass
+    emulation, which must split BOTH operands.  ``split=None`` (or a
+    non-f32 dtype) keeps the HIGHEST path."""
+    dn = (dims, ((), ()))
+    if split is None or not _split_ok(dtype):
+        return jax.lax.dot_general(lhs, rhs, dn,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=dtype)
+    bf = jnp.bfloat16
+
+    def parts(x):
+        x1 = x.astype(bf)
+        r = x - x1.astype(dtype)
+        x2 = r.astype(bf)
+        x3 = (r - x2.astype(dtype)).astype(bf)
+        return x1, x2, x3
+
+    if split == "lhs":
+        mask = rhs.astype(bf)
+        terms = [jax.lax.dot_general(xp, mask, dn,
+                                     preferred_element_type=dtype)
+                 for xp in parts(lhs)]
+    else:
+        mask = lhs.astype(bf)
+        terms = [jax.lax.dot_general(mask, xp, dn,
+                                     preferred_element_type=dtype)
+                 for xp in parts(rhs)]
+    return (terms[2] + terms[1]) + terms[0]
+
 
 def _onehots(a_row, t_row, W1, dtype):
     """One-hot masks from (1, R) int32 index rows (-1 vanishes)."""
@@ -252,9 +348,7 @@ def _fold(row, nl, B):
 def _gather(x_ref, row0, W1, OHa, OHt, nl, B, dtype):
     """Window gather -> (nl, B) element values (row j, lane c)."""
     Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
-    G1 = jax.lax.dot_general(Xw, OHa, (((0,), (0,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=dtype)       # (128,R)
+    G1 = _mxu_dot(Xw, OHa, ((0,), (0,)), dtype, "lhs")           # (128,R)
     xe = jnp.sum(G1 * OHt, axis=0, keepdims=True)                # (1,R)
     return _fold(xe, nl, B)
 
@@ -272,10 +366,7 @@ def _scatter(y_ref, row0, W1, OHa, OHt, ye, dtype):
     for j in range(nl):
         sl = slice(j * B, (j + 1) * B)
         Mj = OHt[:, sl] * jnp.broadcast_to(ye[j:j + 1, :], (128, B))
-        Yw = Yw + jax.lax.dot_general(OHa[:, sl], Mj,
-                                      (((1,), (1,)), ((), ())),
-                                      precision=jax.lax.Precision.HIGHEST,
-                                      preferred_element_type=dtype)
+        Yw = Yw + _mxu_dot(OHa[:, sl], Mj, ((1,), (1,)), dtype, "rhs")
     idx = pl.ds(row0, W1)
     y_ref[idx, :] = y_ref[idx, :] + Yw
 
@@ -290,16 +381,14 @@ def _apply_block(T_row, xe, nl_out, dtype):
     RED = (col_owner
            == jax.lax.broadcasted_iota(jnp.int32, (nl_out, rows), 0)
            ).astype(dtype)
-    return jax.lax.dot_general(RED, P, (((1,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=dtype)
+    return _mxu_dot(RED, P, ((1,), (0,)), dtype, "rhs")
 
 
 # ----------------------------------------------------------------------
 # kernels ("full" saddle / "uu" velocity block / "up" coupling / scalar)
 # ----------------------------------------------------------------------
 
-def _saddle_kernel(plan, mode, dtype,
+def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
                    w0u_ref, w0p_ref, *args):
     nlu, nlp, B = plan.nlu, plan.nlp, plan.B
     nlu3 = 3 * nlu
@@ -322,21 +411,21 @@ def _saddle_kernel(plan, mode, dtype,
         if mode in ("full", "full_pp"):
             yp_ref[:] = jnp.zeros_like(yp_ref)
 
-    w0u = w0u_ref[b]
+    w0u = w0u_ref[b + boff]
     nr_u = yu_ref.shape[0] // 3
-    OHa_u, OHt_u = _onehots(au_ref[0], tu_ref[0], plan.W1u, dtype)
+    OHa_u, OHt_u = _onehots(au_ref[0], tu_ref[0], W1u, dtype)
     if mode != "uu":
-        w0p = w0p_ref[b]
-        OHa_p, OHt_p = _onehots(ap_ref[0], tp_ref[0], plan.W1p, dtype)
+        w0p = w0p_ref[b + boff]
+        OHa_p, OHt_p = _onehots(ap_ref[0], tp_ref[0], W1p, dtype)
 
     if mode != "up":
         xe_u = jnp.concatenate([
-            _gather(xu_ref, d * nr_u + w0u, plan.W1u, OHa_u, OHt_u,
+            _gather(xu_ref, d * nr_u + w0u, W1u, OHa_u, OHt_u,
                     nlu, B, dtype)
             for d in range(3)
         ], axis=0)                                             # (3nlu, B)
     if mode != "uu":
-        xe_p = _gather(xp_ref, w0p, plan.W1p, OHa_p, OHt_p, nlp, B, dtype)
+        xe_p = _gather(xp_ref, w0p, W1p, OHa_p, OHt_p, nlp, B, dtype)
 
     if mode in ("full", "full_pp"):
         ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
@@ -350,13 +439,14 @@ def _saddle_kernel(plan, mode, dtype,
         ye_u = _apply_block(up_ref[0], xe_p, nlu3, dtype)
 
     for d in range(3):
-        _scatter(yu_ref, d * nr_u + w0u, plan.W1u, OHa_u, OHt_u,
+        _scatter(yu_ref, d * nr_u + w0u, W1u, OHa_u, OHt_u,
                  ye_u[d * nlu:(d + 1) * nlu], dtype)
     if mode in ("full", "full_pp"):
-        _scatter(yp_ref, w0p, plan.W1p, OHa_p, OHt_p, ye_p, dtype)
+        _scatter(yp_ref, w0p, W1p, OHa_p, OHt_p, ye_p, dtype)
 
 
-def _scalar_kernel(plan, dtype, w0_ref, ae_ref, a_ref, t_ref, x_ref, y_ref):
+def _scalar_kernel(plan, dtype, W1, boff,
+                   w0_ref, ae_ref, a_ref, t_ref, x_ref, y_ref):
     nl, B = plan.nlu, plan.B
     b = pl.program_id(0)
 
@@ -364,11 +454,11 @@ def _scalar_kernel(plan, dtype, w0_ref, ae_ref, a_ref, t_ref, x_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    w0 = w0_ref[b]
-    OHa, OHt = _onehots(a_ref[0], t_ref[0], plan.W1u, dtype)
-    xe = _gather(x_ref, w0, plan.W1u, OHa, OHt, nl, B, dtype)
+    w0 = w0_ref[b + boff]
+    OHa, OHt = _onehots(a_ref[0], t_ref[0], W1, dtype)
+    xe = _gather(x_ref, w0, W1, OHa, OHt, nl, B, dtype)
     ye = _apply_block(ae_ref[0], xe, nl, dtype)
-    _scatter(y_ref, w0, plan.W1u, OHa, OHt, ye, dtype)
+    _scatter(y_ref, w0, W1, OHa, OHt, ye, dtype)
 
 
 # ----------------------------------------------------------------------
@@ -378,16 +468,28 @@ def _scalar_kernel(plan, dtype, w0_ref, ae_ref, a_ref, t_ref, x_ref, y_ref):
 _INTERPRET = False  # flipped by tests to run kernels on CPU
 
 
-def _idx_spec(R):
-    return pl.BlockSpec((1, 1, R), lambda b, *_: (b, 0, 0))
+def _idx_spec(R, off=0):
+    return pl.BlockSpec((1, 1, R), lambda b, *_: (b + off, 0, 0))
 
 
-def _tensor_spec(rows, B):
-    return pl.BlockSpec((1, rows, B), lambda b, *_: (b, 0, 0))
+def _tensor_spec(rows, B, off=0):
+    return pl.BlockSpec((1, rows, B), lambda b, *_: (b + off, 0, 0))
 
 
 def _plane_spec(rows):
     return pl.BlockSpec((rows, 128), lambda b, *_: (0, 0))
+
+
+def _buckets(plan):
+    """(offset, size, W1u, W1p) per width bucket; one bucket covering
+    all blocks when the plan is unbucketed."""
+    if plan.buckets is None:
+        return [(0, plan.nb, plan.W1u, plan.W1p)]
+    out, off = [], 0
+    for nb_i, w1u_i, w1p_i in plan.buckets:
+        out.append((off, nb_i, w1u_i, w1p_i))
+        off += nb_i
+    return out
 
 
 def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
@@ -416,42 +518,59 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
         xp = to_planes(x[3 * n:] if mode != "up" else x, np_, nr_p)
 
     if mode in ("full", "full_pp"):
-        in_specs = [_tensor_spec(nlu3 * nlu3, plan.B),
-                    _tensor_spec(nlu3 * plan.nlp, plan.B),
-                    _tensor_spec(plan.nlp * nlu3, plan.B)]
+        def mk_specs(off):
+            sp = [_tensor_spec(nlu3 * nlu3, plan.B, off),
+                  _tensor_spec(nlu3 * plan.nlp, plan.B, off),
+                  _tensor_spec(plan.nlp * nlu3, plan.B, off)]
+            if mode == "full_pp":
+                sp.append(_tensor_spec(plan.nlp ** 2, plan.B, off))
+            sp += [_idx_spec(R_u, off), _idx_spec(R_u, off),
+                   _idx_spec(R_p, off), _idx_spec(R_p, off),
+                   _plane_spec(3 * nr_u), _plane_spec(nr_p)]
+            return sp
+
         inputs = [uu_b, up_b, pu_b]
         if mode == "full_pp":
-            in_specs.append(_tensor_spec(plan.nlp ** 2, plan.B))
             inputs.append(pp_b)
-        in_specs += [_idx_spec(R_u), _idx_spec(R_u),
-                     _idx_spec(R_p), _idx_spec(R_p),
-                     _plane_spec(3 * nr_u), _plane_spec(nr_p)]
         inputs += [a_u, t_u, a_p, t_p, xu, xp]
         out_specs = [_plane_spec(3 * nr_u), _plane_spec(nr_p)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype),
                      jax.ShapeDtypeStruct((nr_p, 128), dtype)]
     elif mode == "uu":
-        in_specs = [_tensor_spec(nlu3 * nlu3, plan.B),
-                    _idx_spec(R_u), _idx_spec(R_u), _plane_spec(3 * nr_u)]
+        def mk_specs(off):
+            return [_tensor_spec(nlu3 * nlu3, plan.B, off),
+                    _idx_spec(R_u, off), _idx_spec(R_u, off),
+                    _plane_spec(3 * nr_u)]
+
         inputs = (uu_b, a_u, t_u, xu)
         out_specs = [_plane_spec(3 * nr_u)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype)]
     else:  # "up"
-        in_specs = [_tensor_spec(nlu3 * plan.nlp, plan.B),
-                    _idx_spec(R_u), _idx_spec(R_u),
-                    _idx_spec(R_p), _idx_spec(R_p), _plane_spec(nr_p)]
+        def mk_specs(off):
+            return [_tensor_spec(nlu3 * plan.nlp, plan.B, off),
+                    _idx_spec(R_u, off), _idx_spec(R_u, off),
+                    _idx_spec(R_p, off), _idx_spec(R_p, off),
+                    _plane_spec(nr_p)]
+
         inputs = (up_b, a_u, t_u, a_p, t_p, xp)
         out_specs = [_plane_spec(3 * nr_u)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype)]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(plan.nb,),
-        in_specs=in_specs, out_specs=out_specs)
-    out = pl.pallas_call(
-        functools.partial(_saddle_kernel, plan, mode, dtype),
-        grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_INTERPRET,
-    )(w0u, w0p, *inputs)
+    # one pallas_call per width bucket (offsets into the shared block
+    # axis via the BlockSpec index maps -- no tensor copies); bucket
+    # outputs sum into the final planes
+    out = None
+    for off, nb_i, w1u_i, w1p_i in _buckets(plan):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(nb_i,),
+            in_specs=mk_specs(off), out_specs=out_specs)
+        o = pl.pallas_call(
+            functools.partial(_saddle_kernel, plan, mode, dtype,
+                              w1u_i, w1p_i, off),
+            grid_spec=grid_spec, out_shape=out_shape,
+            interpret=_INTERPRET,
+        )(w0u, w0p, *inputs)
+        out = o if out is None else [a + b for a, b in zip(out, o)]
     yu = from_planes(out[0], n, 3).reshape(-1)
     if mode in ("full", "full_pp"):
         return jnp.concatenate([yu, from_planes(out[1], np_, 1)])
@@ -469,17 +588,21 @@ def scalar_matvec(ae_b, x, plan: WindowPlan, tables=None):
     else:
         w0, a, t = tables
     xpl = to_planes(x, n, nr)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(plan.nb,),
-        in_specs=[_tensor_spec(plan.nlu ** 2, plan.B),
-                  _idx_spec(R), _idx_spec(R), _plane_spec(nr)],
-        out_specs=[_plane_spec(nr)])
-    (y,) = pl.pallas_call(
-        functools.partial(_scalar_kernel, plan, dtype),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nr, 128), dtype)],
-        interpret=_INTERPRET,
-    )(w0, ae_b, a, t, xpl)
+    y = None
+    for off, nb_i, w1_i, _w1p in _buckets(plan):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nb_i,),
+            in_specs=[_tensor_spec(plan.nlu ** 2, plan.B, off),
+                      _idx_spec(R, off), _idx_spec(R, off),
+                      _plane_spec(nr)],
+            out_specs=[_plane_spec(nr)])
+        (o,) = pl.pallas_call(
+            functools.partial(_scalar_kernel, plan, dtype, w1_i, off),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((nr, 128), dtype)],
+            interpret=_INTERPRET,
+        )(w0, ae_b, a, t, xpl)
+        y = o if y is None else y + o
     return from_planes(y, n, 1)
 
 

@@ -395,7 +395,11 @@ class DDModel:
         def plans(cd_a, cd_b2, n_a, n_b2):
             import dataclasses
 
-            ps = [W_.build_window_plan(cd_a[s], cd_b2[s], n_a, n_b2)
+            # bucketed=False: ONE static plan serves per-shard traced
+            # tables, so a baked block permutation would disagree with
+            # the other shards' in-jit blocked tensors
+            ps = [W_.build_window_plan(cd_a[s], cd_b2[s], n_a, n_b2,
+                                       bucketed=False)
                   for s in range(S)]
             plan = dataclasses.replace(ps[0],
                                        W1u=max(p.W1u for p in ps),

@@ -41,17 +41,22 @@ def test_plan_invariants(setup):
     plan = W.build_window_plan(fe.cd_u, fe.cd_p, spaces.u_space.ndof,
                                spaces.n_p, B=128)
     assert plan.nb == -(-fe.n_cells_padded // 128)
-    # every unmasked index reconstructs its global dof
+    # every unmasked index reconstructs its global dof (blocks may be
+    # permuted into width buckets: bperm[i] = original block id)
     a = plan.a_u.reshape(plan.nb, fe.cd_u.shape[1], 128)
     t = plan.t_u.reshape(plan.nb, fe.cd_u.shape[1], 128)
-    for b in range(plan.nb):
+    borig = plan.bperm if plan.bperm is not None else np.arange(plan.nb)
+    if plan.buckets is not None:
+        assert sum(nb_i for nb_i, _, _ in plan.buckets) == plan.nb
+        assert max(w for _, w, _ in plan.buckets) == plan.W1u
+    for i, b in enumerate(borig):
         blk = fe.cd_u[b * 128:(b + 1) * 128]
-        g = (plan.w0u[b] * 128 + a[b] * 128 + t[b]).T[:len(blk)]
-        m = a[b].T[:len(blk)] >= 0
+        g = (plan.w0u[i] * 128 + a[i] * 128 + t[i]).T[:len(blk)]
+        m = a[i].T[:len(blk)] >= 0
         assert np.array_equal(g[m], blk[m])
         assert m.all()  # no real cell masked
         # window bound honored
-        assert (a[b][a[b] >= 0] < plan.W1u).all()
+        assert (a[i][a[i] >= 0] < plan.W1u).all()
 
 
 def test_saddle_modes_match_take_path(setup):
