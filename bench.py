@@ -17,8 +17,8 @@ Sections (each optional-failure-isolated; diagnostics on stderr):
      ~4.5KB of element tensors per cell at ~2 flops/byte, so the
      roofline is the bandwidth one) and full-step steps/s.
   D. TPU-dtype validation: 50-step bowl2D mixing in f32 under REAL
-     TPU matmul semantics (the model default raises
-     jax_default_matmul_precision to float32 -- models/model.py),
+     TPU matmul semantics (the model scopes matmul precision to
+     float32 for its own traces -- utils/precision.py),
      compared against the committed f64 golden
      (tests/data/bowl_mixing_2d.npz) in the FE-integral norm.
      SURVEY §7(g): the 1e-3 bar asserted on the live chip.
@@ -39,6 +39,12 @@ import time
 import numpy as np
 
 BASELINE_SECONDS = 5.97  # reference inversion @ 15,946 DoF (BASELINE.md)
+# the reference's STRONG preconditioner line at the same size: full
+# sparse-LU BlockDiagonal, 121 iters / 31.2 s on CPU (reference
+# scratch/inversion_log.md:132-157).  Reported alongside so the
+# headline vs_baseline (like-for-like vs the GPU-default diagonal
+# preconditioner's 5.97 s) is unambiguous.
+BASELINE_SECONDS_BLOCKLU = 31.2
 REF_MESH_B = "/root/reference/meshes/bowl3D_8.000000e-02_5.000000e-01.msh"
 # v5e peak HBM bandwidth (public spec: 819 GB/s per chip); other chips
 # can be mapped here as needed
@@ -385,6 +391,8 @@ def main():
         "value": round(t_solve, 4) if t_solve is not None else None,
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / t_solve, 2)
+        if t_solve else None,
+        "vs_baseline_blockdiag_lu": round(BASELINE_SECONDS_BLOCKLU / t_solve, 2)
         if t_solve else None,
     }
     headline.update(extras)

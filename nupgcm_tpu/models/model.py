@@ -125,11 +125,12 @@ class PGModel:
         # einsum/matmul default to bfloat16 multiply passes.  The FE
         # element contractions and Krylov basis products need true f32
         # accumulation to hold the 1e-3 golden bar, so the default
-        # raises the process-wide matmul precision to full float32
-        # (3-pass bf16 on the MXU).  Pass matmul_precision=None to
-        # keep the JAX default (e.g. to measure the bf16 speed).
-        if matmul_precision is not None:
-            jax.config.update("jax_default_matmul_precision", matmul_precision)
+        # raises the matmul precision to full float32 (3-pass bf16 on
+        # the MXU) -- SCOPED to this model's traces via
+        # utils/precision.py, never process-global (a global update
+        # leaked into the Pallas kernel's bf16 dots and broke Mosaic
+        # lowering in round 3).  Pass matmul_precision=None to keep
+        # the JAX default (e.g. to measure the bf16 speed).
         self.matmul_precision = matmul_precision
         # "const": static tables are closed over and inlined into the
         # executable (fastest dispatch; fine up to a few 100k DoF).
@@ -223,6 +224,7 @@ class PGModel:
                 backend = "cpu"
             windowed = (_W.HAVE_PALLAS and backend == "tpu"
                         and dtype == jnp.float32)
+        windowed_explicit = windowed is True
         self.windowed = windowed
         self.wplan = self.wplan_b = self.wplan_p = self.wplan_sc = None
         if windowed:
@@ -240,27 +242,67 @@ class PGModel:
                 fe.cd_p, fe.cd_p, sp_.p_space.ndof, sp_.p_space.ndof)
             # all-resident planes must fit VMEM next to the streamed
             # blocks; beyond this the DD path shards first
-            if (6 * self.wplan.nr_u + 2 * self.wplan.nr_p) * 512 > 9e6:
-                self.windowed = False
-                self.wplan = None
-                self.wplan_b = self.wplan_p = self.wplan_sc = None
+            if not _W.planes_fit_vmem(self.wplan):
+                self._disable_windowed(
+                    "dof planes exceed the single-chip VMEM residency "
+                    "bound (the DD path shards past it)",
+                    windowed_explicit)
+            # Compile-smoke the production kernels NOW and degrade to
+            # the take-path operator on failure, so a kernel/toolchain
+            # bug costs performance instead of nulling every result.
+            if self.windowed and not _W._INTERPRET:
+                try:
+                    backend = jax.default_backend()
+                except Exception:
+                    backend = "cpu"
+                if backend == "tpu":
+                    try:
+                        _W.smoke_compile(self.wplan, dtype,
+                                         self.matmul_precision)
+                        _W.smoke_compile(self.wplan_b, dtype,
+                                         self.matmul_precision)
+                    except Exception as e:  # noqa: BLE001
+                        self._disable_windowed(
+                            f"kernel failed to compile on TPU: {e}",
+                            windowed_explicit)
 
         import os as _os
         import time as _time
 
         _dbg = _os.environ.get("NUPGCM_DEBUG_TIMING")
-        _t0 = _time.time()
-        self._build_constants()
-        if _dbg:
-            print(f"[build] constants {_time.time() - _t0:.1f}s", flush=True)
-        _t0 = _time.time()
-        self._build_operators()
-        if _dbg:
-            print(f"[build] operators {_time.time() - _t0:.1f}s", flush=True)
-        _t0 = _time.time()
-        self._build_functions()
-        if _dbg:
-            print(f"[build] functions {_time.time() - _t0:.1f}s", flush=True)
+        # build-time device compute (chunked assembly, spectral bounds,
+        # dense coarse inverses) runs under the scoped precision; the
+        # step/invert functions defined here are individually wrapped
+        # so later traces see the same policy
+        from ..utils.precision import precision_ctx
+
+        with precision_ctx(self.matmul_precision):
+            _t0 = _time.time()
+            self._build_constants()
+            if _dbg:
+                print(f"[build] constants {_time.time() - _t0:.1f}s", flush=True)
+            _t0 = _time.time()
+            self._build_operators()
+            if _dbg:
+                print(f"[build] operators {_time.time() - _t0:.1f}s", flush=True)
+            _t0 = _time.time()
+            self._build_functions()
+            if _dbg:
+                print(f"[build] functions {_time.time() - _t0:.1f}s", flush=True)
+
+    def _disable_windowed(self, reason: str, explicit: bool):
+        """Fall back to the take-path element operators.  Loud when the
+        caller explicitly requested windowed=True (ADVICE r3: a silent
+        downgrade hid the slow path), a debug-level note otherwise."""
+        import warnings
+
+        msg = f"windowed kernel disabled ({reason}); using take-path matvecs"
+        if explicit:
+            warnings.warn("nupgcm_tpu: " + msg, RuntimeWarning, stacklevel=3)
+        else:
+            print(f"[nupgcm_tpu] {msg}", file=sys.stderr, flush=True)
+        self.windowed = False
+        self.wplan = self.wplan_b = self.wplan_p = self.wplan_sc = None
 
     # ------------------------------------------------------------------
     # static device constants
@@ -1338,6 +1380,13 @@ class PGModel:
             }
             return ops, new_state, aux
 
+        # scoped matmul precision rides inside each exported function
+        # (enters jax.default_matmul_precision at trace time -- part of
+        # jit's trace context, so caching stays correct)
+        from ..utils.precision import scoped_precision
+
+        step = scoped_precision(step, self.matmul_precision)
+
         # note: no buffer donation -- state legitimately aliases (b is
         # also b_prev right after set_b) and donation would double-free
         self.step_fn = step  # unjitted, for external jit/sharding wrappers
@@ -1346,6 +1395,8 @@ class PGModel:
             x0 = jnp.concatenate([state.u.reshape(-1), state.p])
             u, p, stats = self._invert_pure(ops, state.b, x0)
             return u, p, {"inv_iters": stats.iterations, "inv_res": stats.residual}
+
+        invert_only = scoped_precision(invert_only, self.matmul_precision)
 
         def multi_step(ops, state: State, n: int):
             def body(carry, _):

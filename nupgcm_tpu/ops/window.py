@@ -283,9 +283,68 @@ def blocked_scalar_tensor(Ae, plan: WindowPlan):
 # kernel building blocks
 # ----------------------------------------------------------------------
 
+def planes_fit_vmem(plan: "WindowPlan") -> bool:
+    """Whether the all-resident x/y dof planes of a saddle plan fit in
+    VMEM next to the streamed element blocks (single source of truth
+    for PGModel and DDModel -- the two copies drifted once).  6 u
+    planes (x+y for 3 components) + 2 p planes, 512 B per 128-lane
+    f32 row, against a ~9 MB budget of the 16 MB/core VMEM (the rest
+    holds the double-buffered element-tensor pipeline)."""
+    return (6 * plan.nr_u + 2 * plan.nr_p) * 512 <= 9e6
+
+
+def smoke_compile(plan: "WindowPlan", dtype, precision=None) -> None:
+    """Compile (never execute) a representative windowed matvec on the
+    current default backend, raising on any lowering/compile failure.
+
+    PGModel/DDModel call this at build time on TPU and degrade to the
+    take-path operator when it raises, so a kernel bug costs
+    performance instead of nulling every result (round 3 shipped a
+    Mosaic lowering failure that all-interpret tests could not see).
+    Index tables ride as ShapeDtypeStruct avatars, so nothing is
+    allocated and no multi-MB constants inline into the HLO."""
+    from ..utils.precision import scoped_precision
+
+    S = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    R_u = plan.B * plan.nlu
+    if plan.nlp:
+        nlu3 = 3 * plan.nlu
+        R_p = plan.B * plan.nlp
+        tabs = (S((plan.nb,), i32), S((plan.nb,), i32),
+                S((plan.nb, 1, R_u), i32), S((plan.nb, 1, R_u), i32),
+                S((plan.nb, 1, R_p), i32), S((plan.nb, 1, R_p), i32))
+        args = (S((plan.nb, nlu3 * nlu3, plan.B), dtype),
+                S((plan.nb, nlu3 * plan.nlp, plan.B), dtype),
+                S((plan.nb, plan.nlp * nlu3, plan.B), dtype),
+                S((3 * plan.n_u_nodes + plan.n_p,), dtype))
+
+        def fn(uu, up, pu, x, *tabs):
+            return saddle_matvec(uu, up, pu, x, plan, "full", tables=tabs)
+
+    else:
+        tabs = (S((plan.nb,), i32),
+                S((plan.nb, 1, R_u), i32), S((plan.nb, 1, R_u), i32))
+        args = (S((plan.nb, plan.nlu ** 2, plan.B), dtype),
+                S((plan.n_u_nodes,), dtype))
+
+        def fn(ae, x, *tabs):
+            return scalar_matvec(ae, x, plan, tables=tabs)
+
+    jax.jit(scoped_precision(fn, precision)).lower(*args, *tabs).compile()
+
+
 def _split_ok(dtype):
     """The 3-term bf16 split below is exact for f32 data; for other
-    dtypes (f64 on the CPU interpreter) fall back to HIGHEST dots."""
+    dtypes (f64 on the CPU interpreter) fall back to HIGHEST dots.
+
+    Assumed dynamic range (FE element tensors and Krylov vectors sit
+    comfortably inside it): |x| below ~3.39e38 (above bf16's max the
+    first split term rounds to inf and the residual turns NaN) and
+    either zero or |x| above ~2^-110 (below that the second/third bf16
+    chunks underflow and exactness degrades to plain bf16 rounding).
+    Out-of-range data would fail SILENTLY; keep split=None (HIGHEST)
+    for operands that may approach f32 extremes."""
     return dtype == jnp.float32
 
 
@@ -314,14 +373,20 @@ def _mxu_dot(lhs, rhs, dims, dtype, split):
         x3 = (r - x2.astype(dtype)).astype(bf)
         return x1, x2, x3
 
+    # precision MUST be explicit: these dots are already native bf16 x
+    # bf16 passes, but without it they inherit whatever
+    # jax_default_matmul_precision is ambient at trace time -- an fp32
+    # contract precision on bf16 operands is rejected by Mosaic on
+    # TPU ("Bad lhs type"), which nulled the entire round-3 bench.
+    _P = jax.lax.Precision.DEFAULT
     if split == "lhs":
         mask = rhs.astype(bf)
-        terms = [jax.lax.dot_general(xp, mask, dn,
+        terms = [jax.lax.dot_general(xp, mask, dn, precision=_P,
                                      preferred_element_type=dtype)
                  for xp in parts(lhs)]
     else:
         mask = lhs.astype(bf)
-        terms = [jax.lax.dot_general(mask, xp, dn,
+        terms = [jax.lax.dot_general(mask, xp, dn, precision=_P,
                                      preferred_element_type=dtype)
                  for xp in parts(rhs)]
     return (terms[2] + terms[1]) + terms[0]

@@ -107,10 +107,13 @@ class DDModel:
         # active masks like any Dirichlet dof.
         self.eddy_on = bool(model.forcings.eddy_param.is_on)
 
-        self._build_partition()
-        self._build_tables()
-        self._build_windows(windowed)
-        self._build_step()
+        from ..utils.precision import precision_ctx
+
+        with precision_ctx(model.matmul_precision):
+            self._build_partition()
+            self._build_tables()
+            self._build_windows(windowed)
+            self._build_step()
 
     # ------------------------------------------------------------------
     # host setup
@@ -364,8 +367,11 @@ class DDModel:
         ``windowed=None`` auto-enables on TPU in f32 when Pallas is
         available and the per-shard extended planes fit in VMEM.
         """
+        import warnings
+
         from ..ops import window as W_
 
+        explicit = windowed is True
         self.windowed = False
         self.wplan = self.wplan_b = self.wplan_p = None
         if windowed is None:
@@ -416,9 +422,17 @@ class DDModel:
         cd_u, cd_p, cd_b = fix(t["cd_u"]), fix(t["cd_p"]), fix(t["cd_b"])
         z = np.zeros((S, self.nc_max, 0), np.int64)
         wplan, wtab = plans(cd_u, cd_p, pu_.ext_len, pp_.ext_len)
-        # per-shard VMEM residency bound (same rule as PGModel): the
-        # extended x/y planes live in VMEM for the whole grid pass
-        if (6 * wplan.nr_u + 2 * wplan.nr_p) * 512 > 9e6:
+        # per-shard VMEM residency bound (shared rule with PGModel,
+        # ops/window.py): the extended x/y planes live in VMEM for the
+        # whole grid pass
+        if not W_.planes_fit_vmem(wplan):
+            if explicit:
+                warnings.warn(
+                    "nupgcm_tpu: DDModel(windowed=True) disabled -- "
+                    "per-shard extended dof planes exceed the VMEM "
+                    "residency bound; using take-path shard matvecs "
+                    "(shard over more devices to re-enable)",
+                    RuntimeWarning, stacklevel=3)
             return
         wplan_b, wtab_b = plans(cd_b, z, pb_.ext_len, 0)
         wplan_p, wtab_p = plans(cd_p, z, pp_.ext_len, 0)
@@ -1029,6 +1043,11 @@ class DDModel:
                 check_vma=False,
             )(tables, tables_repl, sv)
 
+        # DD traces the model's kernels itself, so it must carry the
+        # model's scoped matmul-precision policy (utils/precision.py)
+        from ..utils.precision import scoped_precision
+
+        wrapper = scoped_precision(wrapper, self.model.matmul_precision)
         self._step = jax.jit(wrapper)
         # device-resident tables (sharded placement); make_array_from_
         # callback works identically in single- and multi-process mode
@@ -1061,7 +1080,9 @@ class DDModel:
 
             return jax.lax.scan(body, sv, None, length=n)
 
-        self._multi_step = jax.jit(multi_step, static_argnums=(3,))
+        self._multi_step = jax.jit(
+            scoped_precision(multi_step, self.model.matmul_precision),
+            static_argnums=(3,))
 
     def _global(self, host_arr, spec):
         """Build a (possibly multi-process) global device array from an

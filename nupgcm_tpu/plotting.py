@@ -263,3 +263,408 @@ def plot_sparsity_pattern(plan, ofile="sparsity.png", markersize=0.1):
     fig.savefig(ofile, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return ofile
+
+
+# ----------------------------------------------------------------------
+# publication plot products (parity with reference postprocess/*.py)
+# ----------------------------------------------------------------------
+
+def _sym_pcolor(ax, fig, X, Y, F, cmap="RdBu_r", vmax=None, label=""):
+    vmax = vmax or (np.nanmax(np.abs(F)) or 1.0)
+    im = ax.pcolormesh(X, Y, F, cmap=cmap, vmin=-vmax, vmax=vmax,
+                       shading="gouraud", rasterized=True)
+    cb = fig.colorbar(im, ax=ax, label=label, fraction=0.05)
+    cb.ax.ticklabel_format(style="sci", scilimits=(-2, 2), useMathText=True)
+    return vmax
+
+
+def _b_contours(ax, X, Y, B, alpha=0.25):
+    bmin, bmax = np.nanmin(B), np.nanmax(B)
+    if not np.isfinite(bmin) or bmax <= bmin:
+        return
+    db = (bmax - bmin) / 10
+    levels = np.linspace(bmin + db, bmax - db, 20)
+    try:
+        ax.contour(X, Y, B, levels=levels, colors="k", linewidths=0.5,
+                   linestyles="-", alpha=alpha)
+    except Exception:
+        pass
+
+
+def plot_psi2d(model, state, y=0.0, n=256, ofile="psi2d.png", cache=None):
+    """(x, z)-plane streamfunction Psi(x,z) = -cumint_-H^z u dz' with
+    full-buoyancy contours (reference postprocess/psi2d.py:14-83;
+    their 2D circle/bowl product)."""
+    plt = _mpl()
+    if cache is None:
+        cache = SliceCache(model, y=y, n=n)
+    n = cache.n
+    u = cache.eval_u(np.asarray(state.u))[:, 0].reshape(n, n)
+    b = cache.eval_b(np.asarray(state.b))
+    b_full = (model.params.N2 * cache.pts[:, 2] + b).reshape(n, n)
+    z1d = cache.bb[0]
+    from scipy.integrate import cumulative_trapezoid
+
+    psi = -cumulative_trapezoid(np.nan_to_num(u), z1d, axis=1, initial=0)
+    psi[np.isnan(u)] = np.nan
+    fig, ax = plt.subplots(1)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    vmax = _sym_pcolor(ax, fig, cache.aa, cache.bb, psi,
+                       label=r"Streamfunction $\Psi$")
+    try:
+        ax.contour(cache.aa, cache.bb, psi,
+                   levels=np.linspace(-0.9 * vmax, 0.9 * vmax, 8),
+                   colors="k", linestyles="-", linewidths=0.5)
+    except Exception:
+        pass
+    _b_contours(ax, cache.aa, cache.bb, b_full, alpha=0.3)
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$z$")
+    ax.set_aspect("equal")
+    ax.set_title(f"$t = {float(state.t):.3e}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return cache
+
+
+def plot_barotropic_streamfunction(model, state, grid=None,
+                                   ofile="psi_baro.png", Psimax=None):
+    """Psi(x, y) map of the depth-integrated flow (reference
+    postprocess/streamfunctions.py:83-117)."""
+    from .postprocess import barotropic_streamfunction
+
+    plt = _mpl()
+    Psi, U, grid = barotropic_streamfunction(model, state, grid)
+    fig, ax = plt.subplots(1)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    X, Y = np.meshgrid(grid.x, grid.y, indexing="ij")
+    vmax = _sym_pcolor(ax, fig, X, Y, Psi, vmax=Psimax, label=r"$\Psi$")
+    try:
+        ax.contour(X, Y, Psi, levels=np.linspace(-0.9 * vmax, 0.9 * vmax, 8),
+                   colors="k", linewidths=0.25)
+    except Exception:
+        pass
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$y$")
+    ax.set_aspect("equal")
+    ax.set_title(f"$t = {float(state.t):.3e}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_overturning_streamfunction(model, state, grid=None, ofile="psi.png",
+                                    rescale_z=False):
+    """psi(y, z) overturning cell with zonal-mean-buoyancy contours
+    (reference postprocess/streamfunctions.py:156-230)."""
+    from .postprocess import overturning_streamfunction
+
+    plt = _mpl()
+    psi, v_int, b_bar, grid = overturning_streamfunction(model, state, grid)
+    z = grid.z / (2 * np.abs(grid.z).max()) if rescale_z else grid.z
+    Y, Z = np.meshgrid(grid.y, z, indexing="ij")
+    fig, ax = plt.subplots(1)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    vmax = _sym_pcolor(ax, fig, Y, Z, psi, label=r"$\psi$")
+    try:
+        ax.contour(Y, Z, psi, levels=np.linspace(-0.9 * vmax, 0.9 * vmax, 8),
+                   colors="k", linewidths=0.25)
+    except Exception:
+        pass
+    _b_contours(ax, Y, Z, b_bar)
+    ax.set_xlabel("$y$")
+    ax.set_ylabel("$z$" + (" (rescaled)" if rescale_z else ""))
+    ax.set_title(f"$t = {float(state.t):.3e}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_zonal_mean(model, state, field="v", grid=None, ofile=None,
+                    cb_label=None, rescale_z=False, cmap="RdBu_r"):
+    """Zonal-mean field on the (y, z) plane with zonal-mean-buoyancy
+    contours (reference postprocess/streamfunctions.py:119-154)."""
+    from .postprocess import Grid3, sample_state, zonal_mean
+
+    plt = _mpl()
+    if grid is None:
+        grid = Grid3.from_mesh(model.fe.mesh)
+    s = sample_state(model, state, grid)
+    fbar = zonal_mean(s[field], s, grid)
+    b_bar = zonal_mean(s["b"], s, grid)
+    z = grid.z / (2 * np.abs(grid.z).max()) if rescale_z else grid.z
+    Y, Z = np.meshgrid(grid.y, z, indexing="ij")
+    fig, ax = plt.subplots(1)
+    for sp in ("left", "bottom"):
+        ax.spines[sp].set_visible(False)
+    _sym_pcolor(ax, fig, Y, Z, fbar, cmap=cmap,
+                label=cb_label or rf"$\overline{{{field}}}$")
+    _b_contours(ax, Y, Z, b_bar)
+    ax.set_xlabel("$y$")
+    ax.set_ylabel("$z$" + (" (rescaled)" if rescale_z else ""))
+    ax.set_title(f"$t = {float(state.t):.3e}$")
+    ofile = ofile or f"zonal_mean_{field}.png"
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def _channel_plane(model, n):
+    """(y, z) sampling plane at the 2D channel's x (reference channel2D
+    meshes live at x = const; postprocess/channel2D.py:113-125)."""
+    p = model.fe.mesh.coords
+    x0 = float(p[0, 0])
+    y1 = np.linspace(p[:, 1].min(), p[:, 1].max(), n)
+    z1 = np.linspace(p[:, 2].min(), p[:, 2].max(), n)
+    yy, zz = np.meshgrid(y1, z1, indexing="ij")
+    pts = np.column_stack([np.full(n * n, x0), yy.ravel(), zz.ravel()])
+    return x0, y1, z1, yy, zz, pts
+
+
+def plot_channel_psib(model, state, n=256, rescale_z=False, vmax=None,
+                      ofile="channel_psi.png"):
+    """Channel overturning psi(y,z) = -1/alpha cumint_z v at fixed x,
+    with buoyancy contours solid below 0 / dashed above (reference
+    postprocess/channel2D.py:108-190)."""
+    from scipy.integrate import cumulative_trapezoid
+
+    plt = _mpl()
+    _, y1, z1, yy, zz, pts = _channel_plane(model, n)
+    ev = FieldEvaluator(model.fe.mesh)
+    sp = model.fe.spaces
+    v = ev.eval(sp.u_space, np.asarray(state.u), pts)[:, 1].reshape(n, n)
+    b = ev.eval(sp.b_space, np.asarray(state.b), pts)
+    b_full = (model.params.N2 * pts[:, 2] + b).reshape(n, n)
+    alpha = model.params.alpha
+    psi = -cumulative_trapezoid(np.nan_to_num(v), z1, axis=1,
+                                initial=0) / alpha
+    psi[np.isnan(v)] = np.nan
+    if rescale_z:
+        zz = zz / (2 * alpha)
+    fig, ax = plt.subplots(1, figsize=(19 / 6, 19 / 6))
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    vmax = vmax or (np.nanmax(np.abs(psi)) or 1.0)
+    im = ax.pcolormesh(yy, zz, psi, vmin=-vmax, vmax=vmax,
+                       shading="gouraud", cmap="RdBu_r")
+    try:
+        ax.contour(yy, zz, psi, levels=np.linspace(-0.9 * vmax, 0.9 * vmax, 8),
+                   colors="k", linestyles="-", linewidths=0.25)
+        ax.contour(yy, zz, b_full, levels=20, colors="k", alpha=0.25,
+                   linestyles="-", linewidths=0.5)
+    except Exception:
+        pass
+    cb = fig.colorbar(im, ax=ax, label=r"$\Psi$", fraction=0.03)
+    cb.ax.set_yticks([-vmax, 0, vmax])
+    cb.ax.set_yticklabels([r"$-$Max", "$0$", r"$+$Max"])
+    ax.annotate(f"Max = {vmax:.3e}", xy=(0.92, 0.98), xycoords="axes fraction")
+    ax.set_xlabel("$y$")
+    ax.set_ylabel("$z$" + (" (rescaled)" if rescale_z else ""))
+    ax.axis("equal")
+    ax.set_title(f"$t = {float(state.t):.3e}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_channel_uvwb(model, state, rescale_z=False, ofile="channel_uvwb.png"):
+    """Channel section: tripcolor of u with (v, w) quiver and buoyancy
+    contours on the 2D triangulation (reference
+    postprocess/channel2D.py:60-106)."""
+    plt = _mpl()
+    mesh = model.fe.mesh
+    p, t = mesh.coords, mesh.cells[:, :3]
+    nv = mesh.n_vertices
+    u = np.asarray(state.u)[:nv]
+    b = np.asarray(state.b)[:nv] + model.params.N2 * p[:, 2]
+    y, z = p[:, 1], p[:, 2].copy()
+    alpha = model.params.alpha
+    if rescale_z:
+        z = z / (2 * alpha)
+    fig, ax = plt.subplots(1, figsize=(19 / 6, 19 / 6))
+    vmax = np.max(np.abs(u[:, 0])) or 1.0
+    im = ax.tripcolor(y, z, t, u[:, 0], vmin=-vmax, vmax=vmax,
+                      shading="gouraud", cmap="RdBu_r")
+    try:
+        ax.tricontour(y, z, t, b, levels=20, colors="k", alpha=0.25,
+                      linestyles="-", linewidths=0.5)
+    except Exception:
+        pass
+    ax.quiver(y, z, u[:, 1], u[:, 2])
+    fig.colorbar(im, ax=ax, label="$u$", fraction=0.03)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    ax.set_xlabel("$y$")
+    ax.set_ylabel("$z$" + (" (rescaled)" if rescale_z else ""))
+    ax.axis("equal")
+    ax.set_title(rf"$\alpha = {alpha:.3f}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_channel_field(model, state, field="v", vals=None, label=None,
+                       rescale_z=False, vmax=None, ofile=None):
+    """Tripcolor of one field over the 2D channel triangulation with
+    buoyancy contours and the mesh overlaid (reference
+    postprocess/channel2D.py:13-58).  ``vals`` overrides the field
+    lookup with explicit per-dof values (e.g. an effective nu)."""
+    plt = _mpl()
+    mesh = model.fe.mesh
+    p, t = mesh.coords, mesh.cells[:, :3]
+    nv = mesh.n_vertices
+    if vals is None:
+        u = np.asarray(state.u)[:nv]
+        fields = {"u": u[:, 0], "v": u[:, 1], "w": u[:, 2],
+                  "b": np.asarray(state.b)[:nv] + model.params.N2 * p[:, 2]}
+        vals = fields[field]
+    else:
+        vals = np.asarray(vals).reshape(-1)[:nv]
+    b = np.asarray(state.b)[:nv] + model.params.N2 * p[:, 2]
+    y, z = p[:, 1], p[:, 2].copy()
+    alpha = model.params.alpha
+    if rescale_z:
+        z = z / (2 * alpha)
+    fig, ax = plt.subplots(1, figsize=(19 / 6, 19 / 6))
+    vmax = vmax or (np.max(np.abs(vals)) or 1.0)
+    im = ax.tripcolor(y, z, t, vals, vmin=-vmax, vmax=vmax,
+                      shading="gouraud", cmap="RdBu_r")
+    try:
+        ax.tricontour(y, z, t, b, levels=20, colors="k", alpha=0.25,
+                      linestyles="-", linewidths=0.5)
+    except Exception:
+        pass
+    ax.triplot(y, z, t, "k-", linewidth=0.25, alpha=0.1)
+    fig.colorbar(im, ax=ax, label=label or field, fraction=0.03)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    ax.set_xlabel("$y$")
+    ax.set_ylabel("$z$" + (" (rescaled)" if rescale_z else ""))
+    ax.axis("equal")
+    ax.set_title(rf"$\alpha = {alpha:.3f}$")
+    ofile = ofile or f"channel_{field}.png"
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_psi_profile(model, state, y, n=256, ofile="psi_profile.png"):
+    """Vertical profile of the channel overturning streamfunction at
+    one y (reference postprocess/channel2D.py:192-227)."""
+    from scipy.integrate import cumulative_trapezoid
+
+    plt = _mpl()
+    p = model.fe.mesh.coords
+    x0 = float(p[0, 0])
+    z1 = np.linspace(p[:, 2].min(), p[:, 2].max(), n)
+    pts = np.column_stack([np.full(n, x0), np.full(n, y), z1])
+    ev = FieldEvaluator(model.fe.mesh)
+    v = ev.eval(model.fe.spaces.u_space, np.asarray(state.u), pts)[:, 1]
+    psi = -cumulative_trapezoid(np.nan_to_num(v), z1,
+                                initial=0) / model.params.alpha
+    psi[np.isnan(v)] = np.nan
+    fig, ax = plt.subplots(1, figsize=(2, 3.2))
+    ax.spines["left"].set_visible(False)
+    ax.axvline(0, lw=0.5, c="k", ls="-")
+    ax.plot(psi, z1)
+    ax.set_xlabel(r"$\Psi$")
+    ax.set_ylabel("$z$")
+    ax.set_title(f"$y = {y:.2f}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_surface_b_flux(model, state, n=256, ofile="sfc_b_flux.png"):
+    """Diagnosed surface buoyancy flux F(y) = alpha eps^2 / mu_rho *
+    kappa_v_eff * dz(b) |surface, one-sided 2nd-order dz as in the
+    reference (postprocess/channel2D.py:229-267, with model parameters
+    substituted for its hardcoded Ek/PrBu)."""
+    plt = _mpl()
+    p = model.fe.mesh.coords
+    x0 = float(p[0, 0])
+    y1 = np.linspace(p[:, 1].min(), p[:, 1].max(), n)
+    zmax, zmin = p[:, 2].max(), p[:, 2].min()
+    dz = (zmax - zmin) / (n - 1)
+    z3 = zmax - np.array([2 * dz, dz, 0.0])
+    ev = FieldEvaluator(model.fe.mesh)
+    sp = model.fe.spaces
+    pr, fr = model.params, model.forcings
+    flux = np.zeros(n)
+    pts = np.column_stack([
+        np.full(3 * n, x0), np.repeat(y1, 3), np.tile(z3, n)])
+    bv = ev.eval(sp.b_space, np.asarray(state.b), pts).reshape(n, 3)
+    bz = (0.5 * bv[:, 0] - 2.0 * bv[:, 1] + 1.5 * bv[:, 2]) / dz
+    kv = np.array([fr.kappa_v(q) if callable(fr.kappa_v) else fr.kappa_v
+                   for q in pts.reshape(n, 3, 3)[:, 2]])
+    cp = fr.conv_param
+    if cp.is_on and cp.kappa_c:
+        abz = pr.alpha * (pr.N2 + bz)
+        kv = kv + cp.kappa_c * (1.0 + np.tanh(-abz / cp.N2_min)) / 2.0
+    flux = pr.alpha * pr.eps ** 2 / pr.mu_rho * kv * bz
+    flux[~np.isfinite(flux)] = 0.0
+    fig, ax = plt.subplots(1)
+    ax.plot(y1, flux)
+    ax.set_xlabel("$y$")
+    ax.set_ylabel("$F$")
+    ax.spines["bottom"].set_visible(False)
+    ax.axhline(0, lw=0.5, c="k", ls="-")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def circulation_plot(model, state, direction="z", location=0.0, n=256,
+                     ofile="circulation.png"):
+    """Horizontal/vertical circulation phi = cumint flow - int flow
+    on a slice (reference postprocess/slice.py:117-176)."""
+    from scipy.integrate import cumulative_trapezoid, trapezoid
+
+    plt = _mpl()
+    kw = {direction: location}
+    cache = SliceCache(model, n=n, **kw)
+    u = cache.eval_u(np.asarray(state.u))
+    comp = {"x": 2, "y": 2, "z": 1}[direction]  # w, w, v
+    flow = u[:, comp].reshape(n, n)
+    x1 = cache.aa[:, 0]
+    circ = (cumulative_trapezoid(np.nan_to_num(flow), x1, axis=0, initial=0)
+            - trapezoid(np.nan_to_num(flow), x1, axis=0)[None, :])
+    circ[np.isnan(flow)] = np.nan
+    fig, ax = plt.subplots(1)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_visible(False)
+    vmax = _sym_pcolor(ax, fig, cache.aa, cache.bb, circ, label=r"$\phi$")
+    try:
+        ax.contour(cache.aa, cache.bb, circ,
+                   levels=np.linspace(-0.9 * vmax, 0.9 * vmax, 10),
+                   colors="k", linestyles="-", linewidths=0.4)
+    except Exception:
+        pass
+    ax.set_xlabel(cache.labels[0])
+    ax.set_ylabel(cache.labels[1])
+    ax.axis("equal")
+    ax.set_title(f"${direction} = {location:.2f}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile
+
+
+def plot_stratification(model, state, grid=None, ofile="strat.png"):
+    """Horizontally-averaged stratification profile alpha dz(b)(z)
+    (reference postprocess/stratification.py:95-110)."""
+    from .postprocess import stratification
+
+    plt = _mpl()
+    prof, z = stratification(model, state, grid)
+    fig, ax = plt.subplots(1, figsize=(2.5, 3.2))
+    ax.plot(prof, z)
+    ax.set_xlabel(r"$\alpha\, \partial_z b$")
+    ax.set_ylabel("$z$")
+    ax.grid(alpha=0.3)
+    ax.set_title(f"$t = {float(state.t):.3e}$")
+    fig.savefig(ofile, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return ofile

@@ -13,11 +13,13 @@ import numpy as np
 import scipy.sparse.linalg as spla
 
 
-def _as_linop(matvec, n, dtype=np.float64):
+def _as_linop(matvec, n, dtype=np.float64, precision=None):
     import jax
     import jax.numpy as jnp
 
-    jitted = jax.jit(matvec)
+    from ..utils.precision import scoped_precision
+
+    jitted = jax.jit(scoped_precision(matvec, precision))
 
     def mv(v):
         return np.asarray(jitted(jnp.asarray(v.reshape(-1))), dtype=dtype)
@@ -36,7 +38,7 @@ def evolution_spectrum(model, k: int = 6, which: str = "LM"):
     A = MaskedOperator(model._evo_matrix(model.ops, jnp.asarray(theta, model.dtype)),
                        model.const["free_b"])
     n = model.fe.spaces.n_b
-    vals = spla.eigsh(_as_linop(A, n), k=k, which=which, tol=1e-8,
+    vals = spla.eigsh(_as_linop(A, n, precision=model.matmul_precision), k=k, which=which, tol=1e-8,
                       return_eigenvectors=False)
     return np.sort(vals)
 
@@ -48,7 +50,7 @@ def inversion_spectrum(model, k: int = 6, which: str = "LM", sigma=None):
 
     A = MaskedOperator(model._inv_matrix(model.ops), model.const["free_inv"])
     n = model.fe.n_inv
-    vals = spla.eigs(_as_linop(A, n), k=k, which=which, sigma=sigma,
+    vals = spla.eigs(_as_linop(A, n, precision=model.matmul_precision), k=k, which=which, sigma=sigma,
                      tol=1e-6, return_eigenvectors=False)
     return vals[np.argsort(np.abs(vals))]
 
@@ -65,6 +67,6 @@ def preconditioned_inversion_spectrum(model, k: int = 6):
     def op(v):
         return M(A(v))
 
-    vals = spla.eigs(_as_linop(op, n), k=k, which="LM", tol=1e-6,
+    vals = spla.eigs(_as_linop(op, n, precision=model.matmul_precision), k=k, which="LM", tol=1e-6,
                      return_eigenvectors=False)
     return vals[np.argsort(np.abs(vals))]

@@ -158,3 +158,64 @@ def test_find_H_and_cached_slice(small_model, tmp_path):
 
     assert all(os.path.exists(f) for f in files)
     assert isinstance(getattr(model, "_slice_cache", None), SliceCache)
+
+
+def test_publication_plots_3d(small_model, tmp_path):
+    """The publication plot products render on a 3D model (reference
+    postprocess/psi2d.py, streamfunctions.py, slice.py roles)."""
+    from nupgcm_tpu import plotting as P
+
+    model, st = small_model
+    g = Grid3.from_mesh(model.fe.mesh, nx=24, ny=24, nz=12)
+    P.plot_psi2d(model, st, n=32, ofile=str(tmp_path / "psi2d.png"))
+    P.plot_barotropic_streamfunction(model, st, grid=g,
+                                     ofile=str(tmp_path / "baro.png"))
+    P.plot_overturning_streamfunction(model, st, grid=g,
+                                      ofile=str(tmp_path / "ovt.png"))
+    P.plot_zonal_mean(model, st, "v", grid=g,
+                      ofile=str(tmp_path / "zm.png"))
+    P.circulation_plot(model, st, "z", -0.1, n=32,
+                       ofile=str(tmp_path / "circ.png"))
+    P.plot_stratification(model, st, grid=g,
+                          ofile=str(tmp_path / "strat.png"))
+    for f in ("psi2d", "baro", "ovt", "zm", "circ", "strat"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 0
+
+
+def test_publication_plots_channel(tmp_path):
+    """Channel2D plot products (reference postprocess/channel2D.py
+    plot_psib/plot_uvwb/plot_fieldb/plot_psi_profile/
+    plot_surface_b_flux)."""
+    from nupgcm_tpu import plotting as P
+
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    params = npg.Parameters(eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+                            f=1.0, H=alpha)
+    forc = npg.Forcings(nu=1.0, kappa_h=1e-2, kappa_v=1e-2, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    mesh = npg.generators.channel2D(0.1, alpha)
+    spaces = npg.Spaces(
+        mesh,
+        u_diri_tags=["bottom", "basin", "coastline"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True)] * 3,
+        b_diri_tags=["surface"], b_diri_vals=[0.0],
+    )
+    fe = npg.FEData(mesh, spaces)
+    ts = npg.BDF2(t_start=0, t_stop=0.5, dt=0.1)
+    model = npg.PGModel(fe, params, forc, ts, inv_itmax=200)
+    st = model.set_b(model.rest_state(), lambda x: 0.05 * np.exp(2 * x[2]))
+    st = model.run(st, n_info=0, max_steps=2)
+
+    P.plot_channel_psib(model, st, n=32, rescale_z=True,
+                        ofile=str(tmp_path / "cpsi.png"))
+    P.plot_channel_uvwb(model, st, rescale_z=True,
+                        ofile=str(tmp_path / "cuvwb.png"))
+    P.plot_channel_field(model, st, "v", rescale_z=True,
+                         ofile=str(tmp_path / "cv.png"))
+    P.plot_psi_profile(model, st, -0.75, n=48,
+                       ofile=str(tmp_path / "cprof.png"))
+    P.plot_surface_b_flux(model, st, n=48,
+                          ofile=str(tmp_path / "cflux.png"))
+    for f in ("cpsi", "cuvwb", "cv", "cprof", "cflux"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 0
