@@ -89,12 +89,36 @@ class WindowPlan:
     # paying the global-max W1 padding.  None = single bucket.
     buckets: tuple = None   # ((nb_i, W1u_i, W1p_i), ...)
     bperm: np.ndarray = None
+    # kernel v3 unique-node dedup (ROADMAP r3 item 1): per block the
+    # R = B*nl slots hit only ~R/3 unique window rows.  The kernel
+    # gathers the UNIQUE rows first (one-hot over Ru ~ R/3 columns),
+    # folds them into a mini-window of Ru1 = Ru/128 plane rows, then
+    # EXPANDS to the R slots with a second (cheap, height-Ru1) one-hot
+    # -- cutting the dominant W1*128*R MXU terms to W1*128*Ru +
+    # Ru1*128*R.  The scatter runs the exact adjoint.  Tables:
+    # d*_a/d*_t: (nb, Ru_*) unique-row ids; e*_a/e*_t: (nb, R_*)
+    # slot -> unique-index expansion (all -1-masked like a/t).
+    dedup: bool = False
+    Ru_u: int = 0     # unique columns (multiple of 128)
+    Ru_p: int = 0
+    du_a: np.ndarray = None
+    du_t: np.ndarray = None
+    eu_a: np.ndarray = None
+    eu_t: np.ndarray = None
+    dp_a: np.ndarray = None
+    dp_t: np.ndarray = None
+    ep_a: np.ndarray = None
+    ep_t: np.ndarray = None
 
     def __post_init__(self):
         h = hashlib.sha1()
         arrs = [self.w0u, self.w0p, self.a_u, self.t_u, self.a_p, self.t_p]
         if self.bperm is not None:
             arrs.append(self.bperm)
+        if self.dedup:
+            arrs += [self.du_a, self.du_t, self.eu_a, self.eu_t]
+            if self.nlp:
+                arrs += [self.dp_a, self.dp_t, self.ep_a, self.ep_t]
         for a in arrs:
             h.update(np.ascontiguousarray(a).tobytes())
         object.__setattr__(self, "_digest", h.hexdigest())
@@ -102,23 +126,38 @@ class WindowPlan:
     def __hash__(self):
         return hash((self.B, self.nb, self.nlu, self.nlp, self.W1u,
                      self.W1p, self.n_u_nodes, self.n_p, self.n_cells,
-                     self.buckets, self._digest))
+                     self.buckets, self.dedup, self.Ru_u, self.Ru_p,
+                     self._digest))
 
     def __eq__(self, other):
         return isinstance(other, WindowPlan) and hash(self) == hash(other)
 
     def device_arrays(self):
-        """Index arrays as device arrays (cached); pass as jit args."""
+        """Index arrays as device arrays (cached); pass as jit args.
+
+        Non-dedup: (w0u, w0p, a_u, t_u, a_p, t_p).
+        Dedup: (w0u, w0p, du_a, du_t, eu_a, eu_t, dp_a, dp_t,
+        ep_a, ep_t) -- the slot tables a/t are not needed on device."""
         if "_dev" not in self.__dict__:
             nb = self.nb
+            r3 = lambda a: jnp.asarray(a.reshape(nb, 1, -1))
             # reshape in NumPy: a traced jnp reshape would leak tracers
             # out of whatever transformation first touches the cache
-            object.__setattr__(self, "_dev", (
-                jnp.asarray(self.w0u), jnp.asarray(self.w0p),
-                jnp.asarray(self.a_u.reshape(nb, 1, -1)),
-                jnp.asarray(self.t_u.reshape(nb, 1, -1)),
-                jnp.asarray(self.a_p.reshape(nb, 1, -1)),
-                jnp.asarray(self.t_p.reshape(nb, 1, -1))))
+            if self.dedup:
+                zp = np.full((nb, 1), -1, np.int32)  # nlp == 0 stand-in
+                object.__setattr__(self, "_dev", (
+                    jnp.asarray(self.w0u), jnp.asarray(self.w0p),
+                    r3(self.du_a), r3(self.du_t),
+                    r3(self.eu_a), r3(self.eu_t),
+                    r3(self.dp_a if self.nlp else zp),
+                    r3(self.dp_t if self.nlp else zp),
+                    r3(self.ep_a if self.nlp else zp),
+                    r3(self.ep_t if self.nlp else zp)))
+            else:
+                object.__setattr__(self, "_dev", (
+                    jnp.asarray(self.w0u), jnp.asarray(self.w0p),
+                    r3(self.a_u), r3(self.t_u),
+                    r3(self.a_p), r3(self.t_p)))
         return self.__dict__["_dev"]
 
     @property
@@ -131,7 +170,8 @@ class WindowPlan:
 
 
 def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
-                      B: int = 128, bucketed: bool = True) -> WindowPlan:
+                      B: int = 128, bucketed: bool = True,
+                      dedup: bool = True) -> WindowPlan:
     """cd_u (nc, nlu) / cd_p (nc, nlp) in the window-sorted cell order
     (cells ordered by min cd_u -- FEData guarantees this).  cd_p may
     have width 0 for scalar plans.
@@ -141,7 +181,12 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
     (the max-W1 padding otherwise taxes every interior block).  Must
     be False when one static plan serves per-shard traced tables
     (parallel/dd.py): the permutation is baked into the plan, and
-    per-shard permutations would disagree across shards."""
+    per-shard permutations would disagree across shards.
+
+    ``dedup``: build the kernel-v3 unique-node tables (gather unique
+    window rows, expand to slots -- ~2-2.5x fewer MXU ops at
+    production widths).  Off for the DD path for now (its traced
+    per-shard tables use the slot schema)."""
     assert B % 128 == 0, "B must be a multiple of 128 (vreg lane tiles)"
     cd_u = np.asarray(cd_u, np.int64)
     cd_p = np.asarray(cd_p, np.int64)
@@ -177,6 +222,37 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
     w0p, a_p, t_p, w1p_blk = block_tables(cd_p, nlp)
     W1u, W1p = int(w1u_blk.max()), int(w1p_blk.max())
 
+    def dedup_tables(a, t, nl):
+        """Unique window-row tables + slot->unique expansion."""
+        R = B * nl
+        uas, uts, eas, ets, rus = [], [], [], [], []
+        for b in range(nb):
+            loc = 128 * a[b].astype(np.int64) + t[b]
+            valid = a[b] >= 0
+            uniq, inv = np.unique(loc[valid], return_inverse=True)
+            e = np.full(R, -1, np.int64)
+            e[valid] = inv
+            rus.append(len(uniq))
+            uas.append(uniq // 128)
+            uts.append(uniq % 128)
+            eas.append(np.where(e >= 0, e // 128, -1))
+            ets.append(np.where(e >= 0, e % 128, -1))
+        Ru = _ceil_to(max(max(rus), 1), 128)
+        da = np.full((nb, Ru), -1, np.int32)
+        dt_ = np.full((nb, Ru), -1, np.int32)
+        for b in range(nb):
+            da[b, :rus[b]] = uas[b]
+            dt_[b, :rus[b]] = uts[b]
+        return (Ru, da, dt_, np.asarray(eas, np.int32),
+                np.asarray(ets, np.int32))
+
+    Ru_u = Ru_p = 0
+    du_a = du_t = eu_a = eu_t = dp_a = dp_t = ep_a = ep_t = None
+    if dedup:
+        Ru_u, du_a, du_t, eu_a, eu_t = dedup_tables(a_u, t_u, nlu)
+        if nlp:
+            Ru_p, dp_a, dp_t, ep_a, ep_t = dedup_tables(a_p, t_p, nlp)
+
     buckets = bperm = None
     if bucketed and nb > 1:
         bperm = np.argsort(w1u_blk, kind="stable").astype(np.int64)
@@ -205,11 +281,20 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
             w0u, a_u, t_u = w0u[bperm], a_u[bperm], t_u[bperm]
             if nlp:
                 w0p, a_p, t_p = w0p[bperm], a_p[bperm], t_p[bperm]
+            if dedup:
+                du_a, du_t = du_a[bperm], du_t[bperm]
+                eu_a, eu_t = eu_a[bperm], eu_t[bperm]
+                if nlp:
+                    dp_a, dp_t = dp_a[bperm], dp_t[bperm]
+                    ep_a, ep_t = ep_a[bperm], ep_t[bperm]
 
     plan = WindowPlan(B=B, nb=nb, nlu=nlu, nlp=nlp, W1u=W1u, W1p=W1p,
                       n_u_nodes=n_u_nodes, n_p=n_p, n_cells=nc,
                       w0u=w0u, w0p=w0p, a_u=a_u, t_u=t_u, a_p=a_p, t_p=t_p,
-                      buckets=buckets, bperm=bperm)
+                      buckets=buckets, bperm=bperm,
+                      dedup=dedup, Ru_u=Ru_u, Ru_p=Ru_p,
+                      du_a=du_a, du_t=du_t, eu_a=eu_a, eu_t=eu_t,
+                      dp_a=dp_a, dp_t=dp_t, ep_a=ep_a, ep_t=ep_t)
     plan.device_arrays()  # populate eagerly, OUTSIDE any jit trace
     return plan
 
@@ -308,12 +393,23 @@ def smoke_compile(plan: "WindowPlan", dtype, precision=None) -> None:
     S = jax.ShapeDtypeStruct
     i32 = jnp.int32
     R_u = plan.B * plan.nlu
+
+    def irow(w):
+        return S((plan.nb, 1, w), i32)
+
+    if plan.dedup:
+        u_idx = (irow(plan.Ru_u), irow(plan.Ru_u), irow(R_u), irow(R_u))
+    else:
+        u_idx = (irow(R_u), irow(R_u))
     if plan.nlp:
         nlu3 = 3 * plan.nlu
         R_p = plan.B * plan.nlp
-        tabs = (S((plan.nb,), i32), S((plan.nb,), i32),
-                S((plan.nb, 1, R_u), i32), S((plan.nb, 1, R_u), i32),
-                S((plan.nb, 1, R_p), i32), S((plan.nb, 1, R_p), i32))
+        if plan.dedup:
+            p_idx = (irow(plan.Ru_p), irow(plan.Ru_p), irow(R_p),
+                     irow(R_p))
+        else:
+            p_idx = (irow(R_p), irow(R_p))
+        tabs = (S((plan.nb,), i32), S((plan.nb,), i32), *u_idx, *p_idx)
         args = (S((plan.nb, nlu3 * nlu3, plan.B), dtype),
                 S((plan.nb, nlu3 * plan.nlp, plan.B), dtype),
                 S((plan.nb, plan.nlp * nlu3, plan.B), dtype),
@@ -323,8 +419,7 @@ def smoke_compile(plan: "WindowPlan", dtype, precision=None) -> None:
             return saddle_matvec(uu, up, pu, x, plan, "full", tables=tabs)
 
     else:
-        tabs = (S((plan.nb,), i32),
-                S((plan.nb, 1, R_u), i32), S((plan.nb, 1, R_u), i32))
+        tabs = (S((plan.nb,), i32), *u_idx)
         args = (S((plan.nb, plan.nlu ** 2, plan.B), dtype),
                 S((plan.n_u_nodes,), dtype))
 
@@ -418,6 +513,46 @@ def _gather(x_ref, row0, W1, OHa, OHt, nl, B, dtype):
     return _fold(xe, nl, B)
 
 
+def _gather_dedup(x_ref, row0, W1, OHa_d, OHt_d, OHa_e, OHt_e,
+                  Ru1, nl, B, dtype):
+    """Kernel-v3 window gather: unique rows first, then expand.
+
+    Stage A gathers the ~R/3 UNIQUE window rows (one-hot width Ru)
+    and folds them into a (Ru1, 128) mini-window; stage B re-gathers
+    from the mini-window with the expansion one-hots (height Ru1 <<
+    W1).  MXU cost W1*128*Ru + Ru1*128*R vs the direct W1*128*R."""
+    Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
+    G1 = _mxu_dot(Xw, OHa_d, ((0,), (0,)), dtype, "lhs")         # (128,Ru)
+    xu = jnp.sum(G1 * OHt_d, axis=0, keepdims=True)              # (1,Ru)
+    Uw = _fold(xu, Ru1, 128)                                     # (Ru1,128)
+    G2 = _mxu_dot(Uw, OHa_e, ((0,), (0,)), dtype, "lhs")         # (128,R)
+    xe = jnp.sum(G2 * OHt_e, axis=0, keepdims=True)              # (1,R)
+    return _fold(xe, nl, B)
+
+
+def _scatter_dedup(y_ref, row0, W1, OHa_d, OHt_d, OHa_e, OHt_e,
+                   ye, dtype):
+    """Exact adjoint of _gather_dedup: slot values sum into the unique
+    accumulator (adjoint expand, height Ru1), which then scatters into
+    the real window (one-hot width Ru).  Both loops stay on
+    vreg-aligned lane slices (_scatter's lowering constraint)."""
+    nl, B = ye.shape
+    Ru1 = OHa_e.shape[0]
+    Uacc = jnp.zeros((Ru1, 128), dtype)
+    for j in range(nl):
+        sl = slice(j * B, (j + 1) * B)
+        Mj = OHt_e[:, sl] * jnp.broadcast_to(ye[j:j + 1, :], (128, B))
+        Uacc = Uacc + _mxu_dot(OHa_e[:, sl], Mj, ((1,), (1,)), dtype,
+                               "rhs")
+    Yw = jnp.zeros((W1, 128), dtype)
+    for i in range(Ru1):
+        sl = slice(i * 128, (i + 1) * 128)
+        Mi = OHt_d[:, sl] * jnp.broadcast_to(Uacc[i:i + 1, :], (128, 128))
+        Yw = Yw + _mxu_dot(OHa_d[:, sl], Mi, ((1,), (1,)), dtype, "rhs")
+    idx = pl.ds(row0, W1)
+    y_ref[idx, :] = y_ref[idx, :] + Yw
+
+
 def _scatter(y_ref, row0, W1, OHa, OHt, ye, dtype):
     """Adjoint of _gather: accumulate (nl, B) values into the window.
 
@@ -453,20 +588,62 @@ def _apply_block(T_row, xe, nl_out, dtype):
 # kernels ("full" saddle / "uu" velocity block / "up" coupling / scalar)
 # ----------------------------------------------------------------------
 
+class _SpaceCtx:
+    """Per-space gather/scatter closure: direct (slot one-hots) or
+    dedup (unique + expansion one-hots, kernel v3), built once per
+    block."""
+
+    def __init__(self, W1, idx_refs, dedup, Ru, dtype):
+        self.W1, self.dtype = W1, dtype
+        self.dedup = dedup
+        if dedup:
+            dua, dut, eua, eut = idx_refs
+            self.Ru1 = Ru // 128
+            self.OHa_d, self.OHt_d = _onehots(dua[0], dut[0], W1, dtype)
+            self.OHa_e, self.OHt_e = _onehots(eua[0], eut[0], self.Ru1,
+                                              dtype)
+        else:
+            a_ref, t_ref = idx_refs
+            self.OHa, self.OHt = _onehots(a_ref[0], t_ref[0], W1, dtype)
+
+    def gather(self, x_ref, row0, nl, B):
+        if self.dedup:
+            return _gather_dedup(x_ref, row0, self.W1, self.OHa_d,
+                                 self.OHt_d, self.OHa_e, self.OHt_e,
+                                 self.Ru1, nl, B, self.dtype)
+        return _gather(x_ref, row0, self.W1, self.OHa, self.OHt,
+                       nl, B, self.dtype)
+
+    def scatter(self, y_ref, row0, ye):
+        if self.dedup:
+            _scatter_dedup(y_ref, row0, self.W1, self.OHa_d, self.OHt_d,
+                           self.OHa_e, self.OHt_e, ye, self.dtype)
+        else:
+            _scatter(y_ref, row0, self.W1, self.OHa, self.OHt, ye,
+                     self.dtype)
+
+
 def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
                    w0u_ref, w0p_ref, *args):
     nlu, nlp, B = plan.nlu, plan.nlp, plan.B
     nlu3 = 3 * nlu
+    ni = 4 if plan.dedup else 2  # index refs per space
     if mode == "full_pp":
-        (uu_ref, up_ref, pu_ref, pp_ref, au_ref, tu_ref, ap_ref, tp_ref,
-         xu_ref, xp_ref, yu_ref, yp_ref) = args
+        uu_ref, up_ref, pu_ref, pp_ref = args[:4]
+        iu, ip_ = args[4:4 + ni], args[4 + ni:4 + 2 * ni]
+        xu_ref, xp_ref, yu_ref, yp_ref = args[4 + 2 * ni:]
     elif mode == "full":
-        (uu_ref, up_ref, pu_ref, au_ref, tu_ref, ap_ref, tp_ref,
-         xu_ref, xp_ref, yu_ref, yp_ref) = args
+        uu_ref, up_ref, pu_ref = args[:3]
+        iu, ip_ = args[3:3 + ni], args[3 + ni:3 + 2 * ni]
+        xu_ref, xp_ref, yu_ref, yp_ref = args[3 + 2 * ni:]
     elif mode == "uu":
-        uu_ref, au_ref, tu_ref, xu_ref, yu_ref = args
+        uu_ref = args[0]
+        iu = args[1:1 + ni]
+        xu_ref, yu_ref = args[1 + ni:]
     else:  # "up": velocity rows from pressure values
-        up_ref, au_ref, tu_ref, ap_ref, tp_ref, xp_ref, yu_ref = args
+        up_ref = args[0]
+        iu, ip_ = args[1:1 + ni], args[1 + ni:1 + 2 * ni]
+        xp_ref, yu_ref = args[1 + 2 * ni:]
 
     b = pl.program_id(0)
 
@@ -478,19 +655,18 @@ def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
 
     w0u = w0u_ref[b + boff]
     nr_u = yu_ref.shape[0] // 3
-    OHa_u, OHt_u = _onehots(au_ref[0], tu_ref[0], W1u, dtype)
+    cu = _SpaceCtx(W1u, iu, plan.dedup, plan.Ru_u, dtype)
     if mode != "uu":
         w0p = w0p_ref[b + boff]
-        OHa_p, OHt_p = _onehots(ap_ref[0], tp_ref[0], W1p, dtype)
+        cp = _SpaceCtx(W1p, ip_, plan.dedup, plan.Ru_p, dtype)
 
     if mode != "up":
         xe_u = jnp.concatenate([
-            _gather(xu_ref, d * nr_u + w0u, W1u, OHa_u, OHt_u,
-                    nlu, B, dtype)
+            cu.gather(xu_ref, d * nr_u + w0u, nlu, B)
             for d in range(3)
         ], axis=0)                                             # (3nlu, B)
     if mode != "uu":
-        xe_p = _gather(xp_ref, w0p, W1p, OHa_p, OHt_p, nlp, B, dtype)
+        xe_p = cp.gather(xp_ref, w0p, nlp, B)
 
     if mode in ("full", "full_pp"):
         ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
@@ -504,15 +680,17 @@ def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
         ye_u = _apply_block(up_ref[0], xe_p, nlu3, dtype)
 
     for d in range(3):
-        _scatter(yu_ref, d * nr_u + w0u, W1u, OHa_u, OHt_u,
-                 ye_u[d * nlu:(d + 1) * nlu], dtype)
+        cu.scatter(yu_ref, d * nr_u + w0u, ye_u[d * nlu:(d + 1) * nlu])
     if mode in ("full", "full_pp"):
-        _scatter(yp_ref, w0p, W1p, OHa_p, OHt_p, ye_p, dtype)
+        cp.scatter(yp_ref, w0p, ye_p)
 
 
-def _scalar_kernel(plan, dtype, W1, boff,
-                   w0_ref, ae_ref, a_ref, t_ref, x_ref, y_ref):
+def _scalar_kernel(plan, dtype, W1, boff, w0_ref, *args):
     nl, B = plan.nlu, plan.B
+    ni = 4 if plan.dedup else 2
+    ae_ref = args[0]
+    idx = args[1:1 + ni]
+    x_ref, y_ref = args[1 + ni:]
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -520,10 +698,10 @@ def _scalar_kernel(plan, dtype, W1, boff,
         y_ref[:] = jnp.zeros_like(y_ref)
 
     w0 = w0_ref[b + boff]
-    OHa, OHt = _onehots(a_ref[0], t_ref[0], W1, dtype)
-    xe = _gather(x_ref, w0, W1, OHa, OHt, nl, B, dtype)
+    ctx = _SpaceCtx(W1, idx, plan.dedup, plan.Ru_u, dtype)
+    xe = ctx.gather(x_ref, w0, nl, B)
     ye = _apply_block(ae_ref[0], xe, nl, dtype)
-    _scatter(y_ref, w0, W1, OHa, OHt, ye, dtype)
+    ctx.scatter(y_ref, w0, ye)
 
 
 # ----------------------------------------------------------------------
@@ -574,8 +752,21 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
     nlu3 = 3 * plan.nlu
     # all 3 velocity components share the scalar node indices
     R_u, R_p = plan.B * plan.nlu, plan.B * plan.nlp
-    w0u, w0p, a_u, t_u, a_p, t_p = (plan.device_arrays()
-                                    if tables is None else tables)
+    tabs = plan.device_arrays() if tables is None else tables
+    w0u, w0p = tabs[0], tabs[1]
+    if plan.dedup:
+        # (du_a, du_t, eu_a, eu_t) widths (Ru_u, Ru_u, R_u, R_u);
+        # p-side analogous
+        iu_tabs, ip_tabs = tabs[2:6], tabs[6:10]
+        iu_widths = (plan.Ru_u, plan.Ru_u, R_u, R_u)
+        ip_widths = (plan.Ru_p, plan.Ru_p, R_p, R_p)
+    else:
+        iu_tabs, ip_tabs = tabs[2:4], tabs[4:6]
+        iu_widths = (R_u, R_u)
+        ip_widths = (R_p, R_p)
+
+    def idx_specs(widths, off):
+        return [_idx_spec(w, off) for w in widths]
 
     if mode != "up":
         xu = to_planes(x[:3 * n].reshape(n, 3), n, nr_u)
@@ -589,35 +780,33 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
                   _tensor_spec(plan.nlp * nlu3, plan.B, off)]
             if mode == "full_pp":
                 sp.append(_tensor_spec(plan.nlp ** 2, plan.B, off))
-            sp += [_idx_spec(R_u, off), _idx_spec(R_u, off),
-                   _idx_spec(R_p, off), _idx_spec(R_p, off),
-                   _plane_spec(3 * nr_u), _plane_spec(nr_p)]
+            sp += idx_specs(iu_widths, off) + idx_specs(ip_widths, off)
+            sp += [_plane_spec(3 * nr_u), _plane_spec(nr_p)]
             return sp
 
         inputs = [uu_b, up_b, pu_b]
         if mode == "full_pp":
             inputs.append(pp_b)
-        inputs += [a_u, t_u, a_p, t_p, xu, xp]
+        inputs += [*iu_tabs, *ip_tabs, xu, xp]
         out_specs = [_plane_spec(3 * nr_u), _plane_spec(nr_p)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype),
                      jax.ShapeDtypeStruct((nr_p, 128), dtype)]
     elif mode == "uu":
         def mk_specs(off):
-            return [_tensor_spec(nlu3 * nlu3, plan.B, off),
-                    _idx_spec(R_u, off), _idx_spec(R_u, off),
-                    _plane_spec(3 * nr_u)]
+            return ([_tensor_spec(nlu3 * nlu3, plan.B, off)]
+                    + idx_specs(iu_widths, off)
+                    + [_plane_spec(3 * nr_u)])
 
-        inputs = (uu_b, a_u, t_u, xu)
+        inputs = (uu_b, *iu_tabs, xu)
         out_specs = [_plane_spec(3 * nr_u)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype)]
     else:  # "up"
         def mk_specs(off):
-            return [_tensor_spec(nlu3 * plan.nlp, plan.B, off),
-                    _idx_spec(R_u, off), _idx_spec(R_u, off),
-                    _idx_spec(R_p, off), _idx_spec(R_p, off),
-                    _plane_spec(nr_p)]
+            return ([_tensor_spec(nlu3 * plan.nlp, plan.B, off)]
+                    + idx_specs(iu_widths, off) + idx_specs(ip_widths, off)
+                    + [_plane_spec(nr_p)])
 
-        inputs = (up_b, a_u, t_u, a_p, t_p, xp)
+        inputs = (up_b, *iu_tabs, *ip_tabs, xp)
         out_specs = [_plane_spec(3 * nr_u)]
         out_shape = [jax.ShapeDtypeStruct((3 * nr_u, 128), dtype)]
 
@@ -649,24 +838,32 @@ def scalar_matvec(ae_b, x, plan: WindowPlan, tables=None):
     n, nr = plan.n_u_nodes, plan.nr_u
     R = plan.B * plan.nlu
     if tables is None:
-        w0, _, a, t, _, _ = plan.device_arrays()
+        tabs = plan.device_arrays()
+        if plan.dedup:
+            w0, idx_tabs = tabs[0], tabs[2:6]
+        else:
+            w0, idx_tabs = tabs[0], (tabs[2], tabs[3])
     else:
-        w0, a, t = tables
+        w0, *idx_tabs = tables
+    if plan.dedup:
+        widths = (plan.Ru_u, plan.Ru_u, R, R)
+    else:
+        widths = (R, R)
     xpl = to_planes(x, n, nr)
     y = None
     for off, nb_i, w1_i, _w1p in _buckets(plan):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(nb_i,),
-            in_specs=[_tensor_spec(plan.nlu ** 2, plan.B, off),
-                      _idx_spec(R, off), _idx_spec(R, off),
-                      _plane_spec(nr)],
+            in_specs=([_tensor_spec(plan.nlu ** 2, plan.B, off)]
+                      + [_idx_spec(w, off) for w in widths]
+                      + [_plane_spec(nr)]),
             out_specs=[_plane_spec(nr)])
         (o,) = pl.pallas_call(
             functools.partial(_scalar_kernel, plan, dtype, w1_i, off),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((nr, 128), dtype)],
             interpret=_INTERPRET,
-        )(w0, ae_b, a, t, xpl)
+        )(w0, ae_b, *idx_tabs, xpl)
         y = o if y is None else y + o
     return from_planes(y, n, 1)
 

@@ -403,9 +403,11 @@ class DDModel:
 
             # bucketed=False: ONE static plan serves per-shard traced
             # tables, so a baked block permutation would disagree with
-            # the other shards' in-jit blocked tensors
+            # the other shards' in-jit blocked tensors.  dedup=False:
+            # the DD traced tables use the slot schema (kernel-v3
+            # dedup tables are per-shard-shaped; adopt later).
             ps = [W_.build_window_plan(cd_a[s], cd_b2[s], n_a, n_b2,
-                                       bucketed=False)
+                                       bucketed=False, dedup=False)
                   for s in range(S)]
             plan = dataclasses.replace(ps[0],
                                        W1u=max(p.W1u for p in ps),

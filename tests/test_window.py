@@ -161,3 +161,38 @@ def test_full_pp_matches_take_path(setup):
                                    pp_b=pp_b))
     y0 = np.asarray(sop.matvec(x))
     assert np.abs(y - y0).max() < 2e-6 * np.abs(y0).max()
+
+
+def test_dedup_tables_reconstruct_slots(setup):
+    """Kernel-v3 invariant: expanding the unique table through e
+    reproduces the slot table exactly (same window-local ids)."""
+    fe, spaces, _, _ = setup
+    plan = W.build_window_plan(fe.cd_u, fe.cd_p, spaces.u_space.ndof,
+                               spaces.n_p, B=128, dedup=True)
+    assert plan.dedup and plan.Ru_u % 128 == 0 and plan.Ru_u > 0
+    for b in range(plan.nb):
+        uniq = 128 * plan.du_a[b].astype(np.int64) + plan.du_t[b]
+        e = 128 * plan.eu_a[b].astype(np.int64) + plan.eu_t[b]
+        valid = plan.a_u[b] >= 0
+        loc = 128 * plan.a_u[b].astype(np.int64) + plan.t_u[b]
+        assert np.array_equal(uniq[e[valid]], loc[valid])
+        assert (e[~valid] < 0).all()
+        # dedup achieves a real reduction on a P2 mesh
+    assert plan.Ru_u < plan.B * plan.nlu
+
+
+def test_dedup_matches_direct(setup):
+    """dedup=True and dedup=False kernels agree to float tolerance."""
+    fe, spaces, T, rng = setup
+    kw = dict(B=128)
+    p1 = W.build_window_plan(fe.cd_u, fe.cd_p, spaces.u_space.ndof,
+                             spaces.n_p, dedup=True, **kw)
+    p0 = W.build_window_plan(fe.cd_u, fe.cd_p, spaces.u_space.ndof,
+                             spaces.n_p, dedup=False, **kw)
+    N = spaces.n_u + spaces.n_p
+    x = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    y1 = np.asarray(W.saddle_matvec(*W.blocked_saddle_tensors(
+        T["uu"], T["up"], T["pu"], p1), x, p1, "full"))
+    y0 = np.asarray(W.saddle_matvec(*W.blocked_saddle_tensors(
+        T["uu"], T["up"], T["pu"], p0), x, p0, "full"))
+    assert np.abs(y1 - y0).max() < 2e-6 * np.abs(y0).max()
