@@ -403,22 +403,39 @@ class DDModel:
 
             # bucketed=False: ONE static plan serves per-shard traced
             # tables, so a baked block permutation would disagree with
-            # the other shards' in-jit blocked tensors.  dedup=False:
-            # the DD traced tables use the slot schema (kernel-v3
-            # dedup tables are per-shard-shaped; adopt later).
+            # the other shards' in-jit blocked tensors.  dedup tables
+            # (kernel v3) are repadded to the max unique width across
+            # shards so the same static plan serves every shard.
             ps = [W_.build_window_plan(cd_a[s], cd_b2[s], n_a, n_b2,
-                                       bucketed=False, dedup=False)
+                                       bucketed=False, dedup=True)
                   for s in range(S)]
+            Ru_u = max(p.Ru_u for p in ps)
+            Ru_p = max(p.Ru_p for p in ps)
+
+            def repad(a, Ru):
+                out = np.full((a.shape[0], Ru), -1, np.int32)
+                out[:, :a.shape[1]] = a
+                return out
+
+            ps = [dataclasses.replace(
+                      p, Ru_u=Ru_u, Ru_p=Ru_p,
+                      du_a=repad(p.du_a, Ru_u), du_t=repad(p.du_t, Ru_u),
+                      dp_a=(repad(p.dp_a, Ru_p) if n_b2 else p.dp_a),
+                      dp_t=(repad(p.dp_t, Ru_p) if n_b2 else p.dp_t))
+                  for p in ps]
             plan = dataclasses.replace(ps[0],
                                        W1u=max(p.W1u for p in ps),
                                        W1p=max(p.W1p for p in ps))
             nb = plan.nb
             stk = lambda f: np.stack([f(p) for p in ps])
+            r3 = lambda a: a.reshape(nb, 1, -1)
             tabs = (stk(lambda p: p.w0u), stk(lambda p: p.w0p),
-                    stk(lambda p: p.a_u.reshape(nb, 1, -1)),
-                    stk(lambda p: p.t_u.reshape(nb, 1, -1)),
-                    stk(lambda p: p.a_p.reshape(nb, 1, -1)),
-                    stk(lambda p: p.t_p.reshape(nb, 1, -1)))
+                    stk(lambda p: r3(p.du_a)), stk(lambda p: r3(p.du_t)),
+                    stk(lambda p: r3(p.eu_a)), stk(lambda p: r3(p.eu_t)),
+                    stk(lambda p: r3(p.dp_a)) if n_b2 else None,
+                    stk(lambda p: r3(p.dp_t)) if n_b2 else None,
+                    stk(lambda p: r3(p.ep_a)) if n_b2 else None,
+                    stk(lambda p: r3(p.ep_t)) if n_b2 else None)
             return plan, tabs
 
         cd_u, cd_p, cd_b = fix(t["cd_u"]), fix(t["cd_p"]), fix(t["cd_b"])
@@ -438,10 +455,15 @@ class DDModel:
             return
         wplan_b, wtab_b = plans(cd_b, z, pb_.ext_len, 0)
         wplan_p, wtab_p = plans(cd_p, z, pp_.ext_len, 0)
-        for name, arr in zip(("w0u", "w0p", "au", "tu", "ap", "tp"), wtab):
+        for name, arr in zip(("w0u", "w0p", "dua", "dut", "eua", "eut",
+                              "dpa", "dpt", "epa", "ept"), wtab):
             t["win_" + name] = arr
-        t["winb_w0"], t["winb_a"], t["winb_t"] = wtab_b[0], wtab_b[2], wtab_b[3]
-        t["winp_w0"], t["winp_a"], t["winp_t"] = wtab_p[0], wtab_p[2], wtab_p[3]
+        for name, arr in zip(("w0", "dua", "dut", "eua", "eut"),
+                             (wtab_b[0], *wtab_b[2:6])):
+            t["winb_" + name] = arr
+        for name, arr in zip(("w0", "dua", "dut", "eua", "eut"),
+                             (wtab_p[0], *wtab_p[2:6])):
+            t["winp_" + name] = arr
         self.wplan, self.wplan_b, self.wplan_p = wplan, wplan_b, wplan_p
         self.windowed = True
 
@@ -606,10 +628,13 @@ class DDModel:
                 # tensors need no separate layout.
                 from ..ops import window as W_
 
-                wtab_u = (t["win_w0u"], t["win_w0p"], t["win_au"],
-                          t["win_tu"], t["win_ap"], t["win_tp"])
-                wtab_b = (t["winb_w0"], t["winb_a"], t["winb_t"])
-                wtab_p = (t["winp_w0"], t["winp_a"], t["winp_t"])
+                wtab_u = tuple(t["win_" + k] for k in (
+                    "w0u", "w0p", "dua", "dut", "eua", "eut",
+                    "dpa", "dpt", "epa", "ept"))
+                wtab_b = tuple(t["winb_" + k] for k in (
+                    "w0", "dua", "dut", "eua", "eut"))
+                wtab_p = tuple(t["winp_" + k] for k in (
+                    "w0", "dua", "dut", "eua", "eut"))
                 uu_w, up_w, pu_w = W_.blocked_saddle_tensors(
                     Ae_uu, Ae_up, Ae_pu, wplan)
                 visc_w, _, _ = W_.blocked_saddle_tensors(

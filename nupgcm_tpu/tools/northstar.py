@@ -29,7 +29,7 @@ REF_MESH = "/root/reference/meshes/bowl3D_1.000000e-01_5.000000e-01.msh"
 REF_GOLDEN = "/root/reference/test/data/bowl_mixing_3D.jld2"
 
 
-def build_model():
+def build_model(physics: str = "mixing"):
     import nupgcm_tpu as npg
 
     eps, alpha, mu = 2e-1, 0.5, 1e1
@@ -40,8 +40,23 @@ def build_model():
     )
     kap = lambda x: 1e-2 + np.exp(
         -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
-    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
-                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    if physics == "full":
+        # eddy + convection + wind on the same bowl (the reference's
+        # full parameterization stack, src/inputs.jl:63-137, with the
+        # mixing suite's kappa profile): self-validated stability run
+        forc = npg.Forcings(
+            nu=1.0, kappa_h=kap, kappa_v=kap,
+            tau_x=lambda x: -0.1 * np.cos(np.pi / 2 * x[1]), tau_y=0.0,
+            b_surface_bc=npg.SurfaceDirichletBC(0.0),
+            conv_param=npg.ConvectionParameterization(
+                kappa_c=10.0, N2min=1e-3),
+            eddy_param=npg.EddyParameterization(
+                f=lambda x: 1.0 + 0.5 * x[1], N2min=float(np.sqrt(1e-3))),
+        )
+    else:
+        forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
+                            tau_y=0.0,
+                            b_surface_bc=npg.SurfaceDirichletBC(0.0))
     if os.path.exists(REF_MESH):
         mesh = npg.read_msh(REF_MESH)
         mesh_src = "reference bowl3D h=0.1"
@@ -91,7 +106,13 @@ def main():
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--block", type=int, default=50)
+    ap.add_argument("--physics", default="mixing",
+                    choices=("mixing", "full"),
+                    help="'full' adds wind + convection + eddy "
+                         "parameterizations (no golden prefix exists "
+                         "for that config; self-validated)")
     args = ap.parse_args()
+    tag = "" if args.physics == "mixing" else "_full"
     os.makedirs(args.out, exist_ok=True)
 
     import jax
@@ -99,12 +120,14 @@ def main():
     from nupgcm_tpu.io import checkpoint as ck
 
     print(f"devices: {jax.devices()}", flush=True)
-    model, mesh_src = build_model()
+    model, mesh_src = build_model(args.physics)
     fe = model.fe
     print(f"{mesh_src}: {fe.summary()}", flush=True)
     stats = {"mesh": mesh_src, "n_dof": fe.n_inv,
              "dtype": str(np.dtype(model.dtype)),
              "matmul_precision": model.matmul_precision,
+             "windowed": bool(model.windowed),
+             "physics": args.physics,
              "steps": args.steps}
 
     state = model.rest_state()
@@ -112,7 +135,7 @@ def main():
     t0 = time.time()
     state = model.run(state, n_info=0, max_steps=50)
     print(f"50-step prefix: {time.time() - t0:.1f}s", flush=True)
-    if os.path.exists(REF_GOLDEN):
+    if os.path.exists(REF_GOLDEN) and args.physics == "mixing":
         from nupgcm_tpu.io import gridap as gi
 
         maps = gi.gridap_maps(REF_MESH, fe.spaces)
@@ -132,7 +155,7 @@ def main():
     traj = []
 
     def save_cb(m, st, i):
-        ck.save_state(m, st, os.path.join(args.out, f"northstar_{i:06d}.npz"))
+        ck.save_state(m, st, os.path.join(args.out, f"northstar{tag}_{i:06d}.npz"))
 
     t0 = time.time()
     i = 50
@@ -169,7 +192,7 @@ def main():
     # resume from the last checkpoint STRICTLY BEFORE the end so the
     # equivalence check re-runs a real segment (steps=1000 -> ck 750)
     last_ck = ((args.steps - 1) // 250) * 250
-    ckf = os.path.join(args.out, f"northstar_{last_ck:06d}.npz")
+    ckf = os.path.join(args.out, f"northstar{tag}_{last_ck:06d}.npz")
     if os.path.exists(ckf) and last_ck < args.steps:
         st_r = model.run(ck.load_state(model, ckf), n_info=0,
                          max_steps=args.steps)
@@ -184,11 +207,11 @@ def main():
     us, bs = fe.spaces.u_space, fe.spaces.b_space
     u = np.asarray(state.u)
     np.savez_compressed(
-        os.path.join(args.out, "northstar_bowl3d_final.npz"),
+        os.path.join(args.out, f"northstar_bowl3d{tag}_final.npz"),
         u=np.stack([us.to_original_order(u[:, c]) for c in range(3)], axis=1),
         b=bs.to_original_order(np.asarray(state.b)),
         t=float(state.t), steps=int(state.step))
-    with open(os.path.join(args.out, "northstar_bowl3d.json"), "w") as f:
+    with open(os.path.join(args.out, f"northstar_bowl3d{tag}.json"), "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps({k: v for k, v in stats.items() if k != "trajectory"}),
           flush=True)
