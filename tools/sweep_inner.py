@@ -59,11 +59,11 @@ def main():
     ts = npg.BDF2(t_start=0, t_stop=1e6 * dt, dt=dt)
 
     configs = [
-        {"saddle_coarse_inner": 40},            # round-3 default at scale
-        {"saddle_coarse_inner": 20},
-        {"saddle_coarse_inner": 10},
-        {"saddle_coarse_inner": 20, "inner_iters_u": 4},
-        {"saddle_coarse_inner": 10, "inner_iters_u": 4},
+        {},                                     # model-chosen defaults
+        {"saddle_coarse_inner": 8},
+        {"saddle_coarse_inner": 4},
+        {"saddle_coarse_inner": 8, "inner_iters_u": 1},
+        {"saddle_coarse_inner": 24},
     ]
     results = []
     for cfg in configs:
