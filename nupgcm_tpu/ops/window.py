@@ -243,20 +243,27 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
         for b in range(nb):
             da[b, :rus[b]] = uas[b]
             dt_[b, :rus[b]] = uts[b]
+        ru_blk = np.maximum(128, _ceil_to(np.asarray(rus), 128))
         return (Ru, da, dt_, np.asarray(eas, np.int32),
-                np.asarray(ets, np.int32))
+                np.asarray(ets, np.int32), ru_blk)
 
     Ru_u = Ru_p = 0
     du_a = du_t = eu_a = eu_t = dp_a = dp_t = ep_a = ep_t = None
+    ruu_blk = rup_blk = np.zeros(nb, np.int64)
     if dedup:
-        Ru_u, du_a, du_t, eu_a, eu_t = dedup_tables(a_u, t_u, nlu)
+        Ru_u, du_a, du_t, eu_a, eu_t, ruu_blk = dedup_tables(a_u, t_u, nlu)
         if nlp:
-            Ru_p, dp_a, dp_t, ep_a, ep_t = dedup_tables(a_p, t_p, nlp)
+            Ru_p, dp_a, dp_t, ep_a, ep_t, rup_blk = dedup_tables(
+                a_p, t_p, nlp)
 
     buckets = bperm = None
     if bucketed and nb > 1:
-        bperm = np.argsort(w1u_blk, kind="stable").astype(np.int64)
+        # sort by (u width, then p width) so a block with a small u
+        # window but large p window does not inflate its bucket's W1p
+        # padding (ADVICE r3)
+        bperm = np.lexsort((w1p_blk, w1u_blk)).astype(np.int64)
         w1u_s, w1p_s = w1u_blk[bperm], w1p_blk[bperm]
+        ruu_s, rup_s = ruu_blk[bperm], rup_blk[bperm]
         # bucket edges at width quantiles; merged when degenerate
         edges = sorted({min(nb, max(1, int(q * nb))) for q in
                         (0.5, 0.75, 0.9, 1.0)})
@@ -265,15 +272,16 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
             if hi <= lo:
                 continue
             bks.append((hi - lo, int(w1u_s[lo:hi].max()),
-                        int(w1p_s[lo:hi].max())))
+                        int(w1p_s[lo:hi].max()),
+                        int(ruu_s[lo:hi].max()), int(rup_s[lo:hi].max())))
             lo = hi
         # merge adjacent buckets with identical widths
         merged = [bks[0]]
-        for nb_i, a_i, p_i in bks[1:]:
-            if (a_i, p_i) == merged[-1][1:]:
-                merged[-1] = (merged[-1][0] + nb_i, a_i, p_i)
+        for nb_i, *ws in bks[1:]:
+            if tuple(ws) == merged[-1][1:]:
+                merged[-1] = (merged[-1][0] + nb_i, *ws)
             else:
-                merged.append((nb_i, a_i, p_i))
+                merged.append((nb_i, *ws))
         if len(merged) == 1:
             buckets = bperm = None  # uniform widths: keep it simple
         else:
@@ -599,7 +607,11 @@ class _SpaceCtx:
         if dedup:
             dua, dut, eua, eut = idx_refs
             self.Ru1 = Ru // 128
-            self.OHa_d, self.OHt_d = _onehots(dua[0], dut[0], W1, dtype)
+            # Ru is the BUCKET width: narrow buckets slice their
+            # unique-table rows (lane slices of the global-Ru layout;
+            # unique counts in this bucket are <= Ru by construction)
+            self.OHa_d, self.OHt_d = _onehots(dua[0][:, :Ru],
+                                              dut[0][:, :Ru], W1, dtype)
             self.OHa_e, self.OHt_e = _onehots(eua[0], eut[0], self.Ru1,
                                               dtype)
         else:
@@ -623,7 +635,7 @@ class _SpaceCtx:
                      self.dtype)
 
 
-def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
+def _saddle_kernel(plan, mode, dtype, W1u, W1p, Ru_u, Ru_p, boff,
                    w0u_ref, w0p_ref, *args):
     nlu, nlp, B = plan.nlu, plan.nlp, plan.B
     nlu3 = 3 * nlu
@@ -655,10 +667,10 @@ def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
 
     w0u = w0u_ref[b + boff]
     nr_u = yu_ref.shape[0] // 3
-    cu = _SpaceCtx(W1u, iu, plan.dedup, plan.Ru_u, dtype)
+    cu = _SpaceCtx(W1u, iu, plan.dedup, Ru_u, dtype)
     if mode != "uu":
         w0p = w0p_ref[b + boff]
-        cp = _SpaceCtx(W1p, ip_, plan.dedup, plan.Ru_p, dtype)
+        cp = _SpaceCtx(W1p, ip_, plan.dedup, Ru_p, dtype)
 
     if mode != "up":
         xe_u = jnp.concatenate([
@@ -685,7 +697,7 @@ def _saddle_kernel(plan, mode, dtype, W1u, W1p, boff,
         cp.scatter(yp_ref, w0p, ye_p)
 
 
-def _scalar_kernel(plan, dtype, W1, boff, w0_ref, *args):
+def _scalar_kernel(plan, dtype, W1, Ru, boff, w0_ref, *args):
     nl, B = plan.nlu, plan.B
     ni = 4 if plan.dedup else 2
     ae_ref = args[0]
@@ -698,7 +710,7 @@ def _scalar_kernel(plan, dtype, W1, boff, w0_ref, *args):
         y_ref[:] = jnp.zeros_like(y_ref)
 
     w0 = w0_ref[b + boff]
-    ctx = _SpaceCtx(W1, idx, plan.dedup, plan.Ru_u, dtype)
+    ctx = _SpaceCtx(W1, idx, plan.dedup, Ru, dtype)
     xe = ctx.gather(x_ref, w0, nl, B)
     ye = _apply_block(ae_ref[0], xe, nl, dtype)
     ctx.scatter(y_ref, w0, ye)
@@ -724,13 +736,20 @@ def _plane_spec(rows):
 
 
 def _buckets(plan):
-    """(offset, size, W1u, W1p) per width bucket; one bucket covering
-    all blocks when the plan is unbucketed."""
+    """(offset, size, W1u, W1p, Ru_u, Ru_p) per width bucket; one
+    bucket covering all blocks when the plan is unbucketed.  The Ru
+    entries (dedup one-hot widths) are the plan globals for unbucketed
+    or legacy 3-entry buckets."""
     if plan.buckets is None:
-        return [(0, plan.nb, plan.W1u, plan.W1p)]
+        return [(0, plan.nb, plan.W1u, plan.W1p, plan.Ru_u, plan.Ru_p)]
     out, off = [], 0
-    for nb_i, w1u_i, w1p_i in plan.buckets:
-        out.append((off, nb_i, w1u_i, w1p_i))
+    for entry in plan.buckets:
+        if len(entry) == 3:  # pre-dedup plan layout
+            nb_i, w1u_i, w1p_i = entry
+            ru_u_i, ru_p_i = plan.Ru_u, plan.Ru_p
+        else:
+            nb_i, w1u_i, w1p_i, ru_u_i, ru_p_i = entry
+        out.append((off, nb_i, w1u_i, w1p_i, ru_u_i, ru_p_i))
         off += nb_i
     return out
 
@@ -814,13 +833,13 @@ def saddle_matvec(uu_b, up_b, pu_b, x, plan: WindowPlan,
     # axis via the BlockSpec index maps -- no tensor copies); bucket
     # outputs sum into the final planes
     out = None
-    for off, nb_i, w1u_i, w1p_i in _buckets(plan):
+    for off, nb_i, w1u_i, w1p_i, ru_u_i, ru_p_i in _buckets(plan):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(nb_i,),
             in_specs=mk_specs(off), out_specs=out_specs)
         o = pl.pallas_call(
             functools.partial(_saddle_kernel, plan, mode, dtype,
-                              w1u_i, w1p_i, off),
+                              w1u_i, w1p_i, ru_u_i, ru_p_i, off),
             grid_spec=grid_spec, out_shape=out_shape,
             interpret=_INTERPRET,
         )(w0u, w0p, *inputs)
@@ -851,7 +870,7 @@ def scalar_matvec(ae_b, x, plan: WindowPlan, tables=None):
         widths = (R, R)
     xpl = to_planes(x, n, nr)
     y = None
-    for off, nb_i, w1_i, _w1p in _buckets(plan):
+    for off, nb_i, w1_i, _w1p, ru_i, _rup in _buckets(plan):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(nb_i,),
             in_specs=([_tensor_spec(plan.nlu ** 2, plan.B, off)]
@@ -859,7 +878,8 @@ def scalar_matvec(ae_b, x, plan: WindowPlan, tables=None):
                       + [_plane_spec(nr)]),
             out_specs=[_plane_spec(nr)])
         (o,) = pl.pallas_call(
-            functools.partial(_scalar_kernel, plan, dtype, w1_i, off),
+            functools.partial(_scalar_kernel, plan, dtype, w1_i, ru_i,
+                              off),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((nr, 128), dtype)],
             interpret=_INTERPRET,

@@ -47,8 +47,8 @@ def test_plan_invariants(setup):
     t = plan.t_u.reshape(plan.nb, fe.cd_u.shape[1], 128)
     borig = plan.bperm if plan.bperm is not None else np.arange(plan.nb)
     if plan.buckets is not None:
-        assert sum(nb_i for nb_i, _, _ in plan.buckets) == plan.nb
-        assert max(w for _, w, _ in plan.buckets) == plan.W1u
+        assert sum(e[0] for e in plan.buckets) == plan.nb
+        assert max(e[1] for e in plan.buckets) == plan.W1u
     for i, b in enumerate(borig):
         blk = fe.cd_u[b * 128:(b + 1) * 128]
         g = (plan.w0u[i] * 128 + a[i] * 128 + t[i]).T[:len(blk)]
