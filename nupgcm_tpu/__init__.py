@@ -47,6 +47,7 @@ from .mesh.core import Mesh
 from .mesh.gmsh_reader import read_msh
 from .mesh.writer import write_msh
 from .mesh import generators
+from . import plotting, postprocess
 
 __version__ = "0.1.0"
 __all__ = [
@@ -54,4 +55,5 @@ __all__ = [
     "ConvectionParameterization", "EddyParameterization",
     "Spaces", "FEData", "PGModel", "State", "BlowUpError",
     "BDF1", "BDF2", "Mesh", "read_msh", "write_msh", "generators",
+    "plotting", "postprocess",
 ]
