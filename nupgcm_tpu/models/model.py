@@ -1430,6 +1430,54 @@ class PGModel:
     # ------------------------------------------------------------------
     # host-level API
     # ------------------------------------------------------------------
+    def retune(
+        self,
+        saddle_coarse_inner: Optional[int] = None,
+        inner_iters_u: Optional[int] = None,
+        inner_iters_p: Optional[int] = None,
+        cond_ratio: Optional[float] = None,
+        inv_rtol: Optional[float] = None,
+        inv_atol: Optional[float] = None,
+        inv_memory: Optional[int] = None,
+        evo_rtol: Optional[float] = None,
+        evo_atol: Optional[float] = None,
+    ):
+        """Re-tune solver budgets WITHOUT re-assembling operators.
+
+        The assembled element tensors / spectral bounds / coarse
+        operators in ``self.ops`` are independent of the Krylov
+        budgets -- those enter only the jitted closures.  This swaps
+        the budgets and rebuilds the closures (a re-jit, seconds of
+        host work; the next call pays one XLA compile), skipping the
+        minutes-scale operator build at production size.  The tuning
+        harness ``tools/sweep_inner.py`` uses this to sweep the
+        saddle-coarse inner budget at 0.87M dofs with ONE build.
+        """
+        if saddle_coarse_inner is not None:
+            self.saddle_coarse_inner = saddle_coarse_inner
+        iu, ip = self.inner_iters
+        if inner_iters_u is not None:
+            iu = inner_iters_u
+        if inner_iters_p is not None:
+            ip = inner_iters_p
+        self.inner_iters = (iu, ip)
+        if cond_ratio is not None:
+            self.cond_ratio = cond_ratio
+        for k, v in (("rtol", inv_rtol), ("atol", inv_atol),
+                     ("m", inv_memory)):
+            if v is not None:
+                self.inv_opts[k] = v
+        if inv_memory is not None:
+            self.inv_opts["itmax"] = 25 * inv_memory
+        for k, v in (("rtol", evo_rtol), ("atol", evo_atol)):
+            if v is not None:
+                self.evo_opts[k] = v
+        from ..utils.precision import precision_ctx
+
+        with precision_ctx(self.matmul_precision):
+            self._build_functions()
+        return self
+
     def rest_state(self) -> State:
         sp = self.fe.spaces
         dt = self.dtype

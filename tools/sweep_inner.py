@@ -4,9 +4,10 @@ harness.  Run on the TPU::
 
     python tools/sweep_inner.py [--h 0.033] [--nz 12]
 
-Mesh + FEData are built ONCE and shared; each config builds one
-PGModel and times a 5-step multi-step block twice (compile, then
-steady).
+Mesh + FEData + PGModel (operators) are built ONCE; each config is a
+``model.retune(...)`` (budgets enter only the jitted closures, not the
+assembled operators) and times a 5-step multi-step block twice
+(compile, then steady).
 """
 
 from __future__ import annotations
@@ -60,18 +61,25 @@ def main():
 
     configs = [
         {},                                     # model-chosen defaults
-        {"saddle_coarse_inner": 8},
-        {"saddle_coarse_inner": 4},
-        {"saddle_coarse_inner": 8, "inner_iters_u": 1},
         {"saddle_coarse_inner": 24},
+        {"saddle_coarse_inner": 16},
+        {"saddle_coarse_inner": 8},
+        {"saddle_coarse_inner": 24, "inner_iters_u": 4},
+        {"saddle_coarse_inner": 16, "inner_iters_u": 4},
     ]
+    t0 = time.time()
+    model = npg.PGModel(fe, params, forc, ts)
+    build_s = time.time() - t0
+    log(f"model build {build_s:.0f}s")
+    state = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(
+        -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05))
+    base_iu = model.inner_iters[0]
     results = []
     for cfg in configs:
-        t0 = time.time()
-        model = npg.PGModel(fe, params, forc, ts, **cfg)
-        build_s = time.time() - t0
-        state = model.set_b(model.rest_state(), lambda x: 0.1 * np.exp(
-            -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05))
+        model.retune(
+            saddle_coarse_inner=cfg.get("saddle_coarse_inner"),
+            inner_iters_u=cfg.get("inner_iters_u", base_iu),
+        )
         t0 = time.time()
         ops, st, auxs = model.multi_step_jit(model.ops, state, args.steps)
         jax.block_until_ready(st.b)
@@ -87,11 +95,11 @@ def main():
             "inv_it": float(np.asarray(auxs["inv_iters"]).mean()),
             "inv_res": float(np.asarray(auxs["inv_res"])[-1]),
             "b_max": float(np.asarray(auxs["b_max"])[-1]),
-            "build_s": round(build_s, 1), "compile_s": round(compile_s, 1),
+            "compile_s": round(compile_s, 1),
         })
         results.append(row)
         log(json.dumps(row))
-        del model, ops, st, auxs, state
+        del ops, st, auxs
         gc.collect()
 
     with open(args.out, "w") as f:
