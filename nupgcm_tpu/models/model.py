@@ -21,6 +21,7 @@ departures, all TPU-motivated:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass
@@ -45,6 +46,54 @@ from .timesteppers import BDF1, BDF2
 
 class BlowUpError(RuntimeError):
     pass
+
+
+def _aggregate_vertices(cd_p: np.ndarray, nv: int, max_agg: int):
+    """Cluster mesh vertices into <= max_agg contiguous aggregates.
+
+    Capped BFS over the vertex-vertex connectivity (from the P1 cell
+    dof table), seeded in vertex order -- vertices carry the RCM
+    permutation (fem/spaces.py), so consecutive seeds grow
+    band-compact aggregates.  The cap is grown until the aggregate
+    count fits; stragglers surrounded by full aggregates become small
+    aggregates of their own (harmless).  Returns (agg (nv,) int64,
+    n_agg)."""
+    from scipy import sparse as _sp
+
+    nl = cd_p.shape[1]
+    ii = [cd_p[:, a] for a in range(nl) for b in range(nl) if a != b]
+    jj = [cd_p[:, b] for a in range(nl) for b in range(nl) if a != b]
+    adj = _sp.csr_matrix(
+        (np.ones(nl * (nl - 1) * cd_p.shape[0], np.int8),
+         (np.concatenate(ii), np.concatenate(jj))), shape=(nv, nv))
+    indptr, indices = adj.indptr, adj.indices
+    cap = max(2, -(-nv // max_agg))
+    while True:
+        agg = np.full(nv, -1, np.int64)
+        na = 0
+        for seed in range(nv):
+            if agg[seed] >= 0:
+                continue
+            agg[seed] = na
+            size = 1
+            frontier = [seed]
+            while frontier and size < cap:
+                nxt = []
+                for v in frontier:
+                    for w in indices[indptr[v]:indptr[v + 1]]:
+                        if agg[w] < 0:
+                            agg[w] = na
+                            size += 1
+                            nxt.append(w)
+                            if size >= cap:
+                                break
+                    if size >= cap:
+                        break
+                frontier = nxt
+            na += 1
+        if na <= max_agg:
+            return agg, na
+        cap = int(cap * 1.5) + 1
 
 
 @jax.tree_util.register_pytree_node_class
@@ -109,6 +158,7 @@ class PGModel:
         saddle_coarse: Optional[bool] = None,
         coarse_dense_max: int = 12288,
         saddle_coarse_inner: Optional[int] = None,
+        saddle_coarse_l2: Optional[bool] = None,
         assembly_chunk: int = 8192,
         matmul_precision: Optional[str] = "float32",
         table_mode: str = "auto",
@@ -160,6 +210,7 @@ class PGModel:
         # below this size the coarse problem is solved by a precomputed
         # dense inverse (one MXU matvec); above it by inner CG on the
         # element-local P1 operator
+        self.coarse_dense_max = coarse_dense_max
         self.coarse_dense = 3 * fe.mesh.n_vertices <= coarse_dense_max
         # geostrophic (full-saddle P1-P1) coarse correction: the
         # small-Ekman fix and the strongest option overall (converges
@@ -172,6 +223,14 @@ class PGModel:
             saddle_coarse = True
         self.saddle_coarse = saddle_coarse
         self.saddle_coarse_dense = 4 * fe.mesh.n_vertices <= coarse_dense_max
+        # second-level aggregate correction for the ITERATIVE coarse
+        # path (production sizes): default on -- the near-exact coarse
+        # solve it enables is what keeps the outer iteration count
+        # h-flat past the dense-inverse size bound
+        if saddle_coarse_l2 is None:
+            saddle_coarse_l2 = True
+        self.saddle_coarse_l2 = (saddle_coarse_l2 and self.saddle_coarse
+                                 and not self.saddle_coarse_dense)
         self.saddle_coarse_delta = 1.0
         if self.saddle_coarse:
             self.twogrid = False
@@ -633,6 +692,79 @@ class PGModel:
                                c["tg_coarse_free"])
         ops["sc_lmax"] = power_lmax(cvisc, 1.0 / cvisc.diagonal(), 3 * nv)
 
+        if self.saddle_coarse_l2:
+            self._assemble_saddle_coarse_l2(ops, nu_q)
+
+    def _assemble_saddle_coarse_l2(self, ops, nu_q=None):
+        """Second (aggregate) coarse level for the iterative coarse
+        path.
+
+        The vertex P1-P1 coarse system is itself too large for a dense
+        inverse at production sizes and is solved by a k-step inner
+        FGMRES whose accuracy drives the OUTER iteration count
+        (measured: 3 outer iterations with the dense coarse inverse at
+        43k fine dofs vs 17 with the k=16 inner solve at 0.87M).  This
+        builds a third grid at setup: vertices are clustered into
+        contiguous aggregates by a capped BFS over the mesh
+        connectivity (in the RCM vertex order, so aggregates are
+        band-compact), the masked+pinned coarse saddle matrix is
+        Galerkin-projected onto the piecewise-constant aggregate basis
+        (host f64, element-level bincount scatter -- the global coarse
+        matrix is never formed), and the O(10k) result is inverted
+        dense once.  ``AggregateCoarseCorrection`` applies it
+        multiplicatively after the coarse block smoother inside the
+        inner FGMRES (solvers/preconditioners.py)."""
+        import time as _time
+
+        c = self.const
+        fe = self.fe
+        nv = fe.spaces.p_space.ndof
+        _t0 = _time.time()
+        uu, up, pu, stab, idx_u, idx_p, pv = self._sc_host_blocks(nu_q)
+        free = np.concatenate([
+            np.asarray(c["tg_coarse_free"], np.float64),
+            np.asarray(c["free_inv"][fe.spaces.n_u:], np.float64),
+        ])
+        agg, na = _aggregate_vertices(
+            np.asarray(fe.cd_p[: fe.mesh.n_cells], np.int64), nv,
+            max(1, self.coarse_dense_max // 4))
+        N2 = 4 * na
+        # fine coarse-level dof (3nv u then nv p) -> aggregate dof
+        # (3*aggregate + component, then 3na + aggregate)
+        dofmap = np.concatenate([
+            (3 * agg[:, None] + np.arange(3)).reshape(-1), 3 * na + agg])
+
+        A2 = np.zeros(N2 * N2)
+
+        def scatter(rows, cols, vals):
+            r = np.repeat(rows, cols.shape[1], axis=1).ravel()
+            cc = np.tile(cols, (1, rows.shape[1])).ravel()
+            w = vals.ravel() * free[r] * free[cc]
+            lin = dofmap[r] * N2 + dofmap[cc]
+            return np.bincount(lin, weights=w, minlength=N2 * N2)
+
+        A2 += scatter(idx_u, idx_u, uu)
+        A2 += scatter(idx_u, idx_p, up)
+        A2 += scatter(idx_p, idx_u, pu)
+        A2 += scatter(idx_p, idx_p, stab)
+        A2 = A2.reshape(N2, N2)
+        # Galerkin of the masked operator's identity-on-pinned part,
+        # P^T (I-F) P: keeps aggregates fully inside the Dirichlet
+        # boundary nonsingular
+        A2[np.diag_indices(N2)] += np.bincount(
+            dofmap, weights=1.0 - free, minlength=N2)
+        # Galerkin of the rank-one pressure pin sigma w w^T
+        w = np.concatenate([np.zeros(3 * nv), pv])
+        w /= np.linalg.norm(w)
+        wc = np.bincount(dofmap, weights=w, minlength=N2)
+        A2 += float(ops["sc_sigma"]) * np.outer(wc, wc)
+        ops["sc2_inv"] = jnp.asarray(np.linalg.inv(A2), self.dtype)
+        ops["sc2_agg"] = jnp.asarray(agg, jnp.int32)
+        self._sc2_na = na
+        if os.environ.get("NUPGCM_DEBUG_TIMING"):
+            print(f"[build]   saddle_coarse_l2 {na} aggregates "
+                  f"{_time.time() - _t0:.1f}s", flush=True)
+
     def _saddle_coarse_operator(self, ops) -> SaddleOperator:
         fe = self.fe
         base = SaddleOperator(
@@ -702,29 +834,37 @@ class PGModel:
             up_coupling=lambda zp: tg_free * cop.up_matvec(zp),
         )
         k = self.saddle_coarse_inner
+        # second (aggregate) level: multiplicative after the block
+        # smoother, same pre-smooth -> coarse pattern as the fine level
+        M_in = Mc
+        if "sc2_inv" in ops:
+            from ..solvers.preconditioners import AggregateCoarseCorrection
+
+            sc2 = AggregateCoarseCorrection(
+                inv=ops["sc2_inv"], agg=ops["sc2_agg"],
+                n_agg=self._sc2_na, free_c=free_c)
+            M_in = lambda r_: sc2(cmat, r_, Mc(r_))
 
         def solve(rc):
-            zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=Mc, flexible=True,
-                          m=k, itmax=k, atol=0.0, rtol=1e-2)
+            zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=M_in,
+                          flexible=True, m=k, itmax=k, atol=0.0, rtol=1e-2)
             return zc
 
         return solve
 
-    def _assemble_saddle_coarse_dense(self, ops, nu_q=None):
-        """Dense-inverse coarse path (small meshes): host float64
-        assembly + LU inverse once at setup."""
+    def _sc_host_blocks(self, nu_q=None):
+        """Host-float64 element blocks of the BP-stabilized P1-P1
+        coarse saddle operator (shared by the dense-inverse coarse path
+        and the second-level aggregate builder).
+
+        float64 throughout: the BP-stabilized saddle matrix is too
+        ill-conditioned for an f32 LU inverse (the f32 attempt stalled
+        the outer FGMRES at 2e-5); only the final inverse is downcast
+        to the device dtype (application error ~1e-7 relative,
+        harmless for a flexible preconditioner)."""
         c = self.const
         fe = self.fe
-        pr = self.params
-        a2e2 = float(pr.a2e2)
-        nv = fe.spaces.p_space.ndof
-        Nc = 4 * nv
-
-        # host float64 throughout: the BP-stabilized saddle matrix is
-        # too ill-conditioned for an f32 LU inverse (the f32 attempt
-        # stalled the outer FGMRES at 2e-5); only the final inverse is
-        # downcast to the device dtype (application error ~1e-7
-        # relative, harmless for a flexible preconditioner)
+        a2e2 = float(self.params.a2e2)
         wq = np.asarray(fe.geom.wq, np.float64)
         invJT = np.asarray(fe.geom.invJT, np.float64)
         embed = np.asarray(fe.embed, np.float64)
@@ -762,10 +902,23 @@ class PGModel:
         stab = self.saddle_coarse_delta * h2[:, None, None] * np.einsum(
             "cq,cqid,cqjd->cji", wq, Gp3, Gp3
         )
-
+        nv = self.fe.spaces.p_space.ndof
         cd_p = np.asarray(fe.cd_p, np.int64)
         idx_u = (3 * cd_p[:, :, None] + np.arange(3)).reshape(-1, 3 * nlp)
         idx_p = 3 * nv + cd_p
+        pv = np.zeros(nv)
+        np.add.at(pv, cd_p.ravel(),
+                  np.einsum("cq,qk->ck", wq, phi_p).ravel())
+        return uu, up, pu, stab, idx_u, idx_p, pv
+
+    def _assemble_saddle_coarse_dense(self, ops, nu_q=None):
+        """Dense-inverse coarse path (small meshes): host float64
+        assembly + LU inverse once at setup."""
+        c = self.const
+        fe = self.fe
+        nv = fe.spaces.p_space.ndof
+        Nc = 4 * nv
+        uu, up, pu, stab, idx_u, idx_p, pv = self._sc_host_blocks(nu_q)
         A = np.zeros((Nc, Nc))
 
         def scatter(rows, cols, vals):
@@ -786,8 +939,6 @@ class PGModel:
         # the constant-pressure mode is the (only) nullspace; pin the
         # mean with a rank-one volume-weight augmentation (the outer
         # solve projects constants away regardless)
-        pv = np.zeros(nv)
-        np.add.at(pv, cd_p.ravel(), np.einsum("cq,qk->ck", wq, phi_p).ravel())
         w = np.concatenate([np.zeros(3 * nv), pv])
         w /= np.linalg.norm(w)
         sigma = np.mean(np.abs(np.diagonal(A)))

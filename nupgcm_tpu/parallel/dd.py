@@ -55,7 +55,7 @@ from ..models.model import State
 from ..models.timesteppers import BDF2
 from ..solvers.cg import cg
 from ..solvers.gmres import gmres
-from ..solvers.preconditioners import chebyshev
+from ..solvers.preconditioners import AggregateCoarseCorrection, chebyshev
 from .sharding import AXIS, make_device_mesh
 
 
@@ -339,6 +339,10 @@ class DDModel:
                 tr["sc_pin"] = np.asarray(ops["sc_pin"], dt)
                 self.sc_sigma = float(ops["sc_sigma"])
                 self.sc_lmax = float(ops["sc_lmax"])
+                if "sc2_inv" in ops:
+                    tr["sc2_inv"] = np.asarray(ops["sc2_inv"], dt)
+                    tr["sc2_agg"] = np.asarray(ops["sc2_agg"], np.int32)
+                    self.sc2_na = m._sc2_na
                 cvisc = MaskedOperator(
                     m._coarse_operator(ops["sc_visc_e"]), c["tg_coarse_free"]
                 )
@@ -581,6 +585,7 @@ class DDModel:
         has_coarse = self.has_saddle_coarse
         sc_dense = has_coarse and "sc_inv" in self.tables_repl
         sc_inner_k = m.saddle_coarse_inner if has_coarse else 0
+        sc2_na = getattr(self, "sc2_na", 0)
         sc_sigma = getattr(self, "sc_sigma", 0.0)
         sc_lmax = getattr(self, "sc_lmax", 1.0)
         nlp = np.asarray(fe.cd_p).shape[1]
@@ -950,8 +955,19 @@ class DDModel:
                                            iu_c, sc_lmax / cond_ratio, sc_lmax)
                         return jnp.concatenate([zu, zp])
 
+                    # second (aggregate) level: coarse vectors are
+                    # replicated, so the correction (segment-sum
+                    # restrict -> dense MXU solve -> gather prolong) is
+                    # identical to the single-device one
+                    M_in = Mc
+                    if "sc2_inv" in tr:
+                        sc2 = AggregateCoarseCorrection(
+                            inv=tr["sc2_inv"], agg=tr["sc2_agg"],
+                            n_agg=sc2_na, free_c=free_c)
+                        M_in = lambda rv: sc2(cmat, rv, Mc(rv))
+
                     def coarse_solve(rc):
-                        zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=Mc,
+                        zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=M_in,
                                       flexible=True, m=sc_inner_k,
                                       itmax=sc_inner_k, atol=0.0, rtol=1e-2)
                         return zc

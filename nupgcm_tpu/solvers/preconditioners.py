@@ -162,6 +162,49 @@ class SaddleCoarseCorrection:
 
 
 @dataclass
+class AggregateCoarseCorrection:
+    """Second-level (aggregate) correction for the P1-P1 coarse saddle
+    system.
+
+    At production scale the vertex coarse system is itself large
+    (4 n_vert ~ 144k at 0.87M fine dofs) and must be solved
+    iteratively; the accuracy of THAT solve drives the outer FGMRES
+    count (measured: 3 outer iterations with a dense coarse inverse at
+    43k dofs vs 17 with the k-step inner solve at 0.87M).  This adds a
+    third grid: vertices are clustered into contiguous aggregates
+    (host BFS over the mesh connectivity at setup), the coarse saddle
+    matrix is Galerkin-projected onto piecewise-constant aggregate
+    basis functions, and the resulting O(10k) system is inverted dense
+    once -- applied here as one MXU matvec between restrict
+    (segment-sum) and prolong (gather).  Used multiplicatively after
+    the coarse-level block smoother, exactly like the fine-level
+    ``SaddleCoarseCorrection``.
+    """
+
+    inv: jnp.ndarray      # (4*n_agg, 4*n_agg) dense inverse
+    agg: jnp.ndarray      # (n_vert,) int32 vertex -> aggregate
+    n_agg: int
+    free_c: jnp.ndarray   # (4*n_vert,) coarse-level free mask
+
+    def __call__(self, A, r: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        na = self.n_agg
+        nv = self.agg.shape[0]
+        rc = r - A(z)
+        ru = rc[: 3 * nv].reshape(nv, 3)
+        # (na, 3).reshape(-1) lays dofs out as 3*aggregate + component,
+        # matching the Galerkin matrix built in
+        # models/model.py::_assemble_saddle_coarse_l2
+        r2u = jax.ops.segment_sum(ru, self.agg, num_segments=na)
+        r2p = jax.ops.segment_sum(rc[3 * nv:], self.agg, num_segments=na)
+        r2 = jnp.concatenate([r2u.reshape(-1), r2p])
+        z2 = self.inv @ r2
+        zu = z2[: 3 * na].reshape(na, 3)[self.agg]
+        zp = z2[3 * na:][self.agg]
+        corr = jnp.concatenate([zu.reshape(-1), zp]) * self.free_c
+        return z + corr
+
+
+@dataclass
 class BlockStokesPrecond:
     """Block-diagonal preconditioner for the (u, p) saddle system.
 
