@@ -80,27 +80,39 @@ def main():
             saddle_coarse_inner=cfg.get("saddle_coarse_inner"),
             inner_iters_u=cfg.get("inner_iters_u", base_iu),
         )
-        t0 = time.time()
-        ops, st, auxs = model.multi_step_jit(model.ops, state, args.steps)
-        jax.block_until_ready(st.b)
-        compile_s = time.time() - t0
-        t0 = time.time()
-        ops, st, auxs = model.multi_step_jit(model.ops, state, args.steps)
-        jax.block_until_ready(st.b)
-        sps = args.steps / (time.time() - t0)
         row = dict(cfg)
-        row.update({
-            "steps_per_s": round(sps, 4),
-            "evo_it": float(np.asarray(auxs["evo_iters"]).mean()),
-            "inv_it": float(np.asarray(auxs["inv_iters"]).mean()),
-            "inv_res": float(np.asarray(auxs["inv_res"])[-1]),
-            "b_max": float(np.asarray(auxs["b_max"])[-1]),
-            "compile_s": round(compile_s, 1),
-        })
+        # the tunneled compile service intermittently drops connections
+        # mid-round; retry the config once before giving up on it
+        for attempt in range(2):
+            try:
+                t0 = time.time()
+                ops, st, auxs = model.multi_step_jit(
+                    model.ops, state, args.steps)
+                jax.block_until_ready(st.b)
+                compile_s = time.time() - t0
+                t0 = time.time()
+                ops, st, auxs = model.multi_step_jit(
+                    model.ops, state, args.steps)
+                jax.block_until_ready(st.b)
+                sps = args.steps / (time.time() - t0)
+                row.update({
+                    "steps_per_s": round(sps, 4),
+                    "evo_it": float(np.asarray(auxs["evo_iters"]).mean()),
+                    "inv_it": float(np.asarray(auxs["inv_iters"]).mean()),
+                    "inv_res": float(np.asarray(auxs["inv_res"])[-1]),
+                    "b_max": float(np.asarray(auxs["b_max"])[-1]),
+                    "compile_s": round(compile_s, 1),
+                })
+                del ops, st, auxs
+                break
+            except Exception as e:  # noqa: BLE001
+                log(f"config {cfg} attempt {attempt}: {e}")
+                row["error"] = str(e)[:200]
         results.append(row)
         log(json.dumps(row))
-        del ops, st, auxs
         gc.collect()
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
