@@ -404,6 +404,47 @@ def test_saddle_coarse_scales_past_dense():
     assert it2 <= it1 + 15, iters  # near-flat growth over 5x DoFs
 
 
+def test_saddle_coarse_l2_aggregate_level():
+    """Second (aggregate) coarse level on the iterative coarse path:
+    same solution at tight tolerance, and at least as few outer FGMRES
+    iterations as without it (at production scale it restores the
+    dense-coarse iteration count: 17.6 -> 5.4 in-step at 0.87M)."""
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    mesh = npg.generators.bowl3D(0.25, alpha, nz=4)
+    spaces = npg.Spaces(
+        mesh, u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True),
+                      (False, False, True)],
+        b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0])
+    fe = npg.FEData(mesh, spaces)
+    params = npg.Parameters(eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+                            f=lambda x: 1.0 + 0.5 * x[1],
+                            H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2))
+    kap = lambda x: 1e-2 + np.exp(
+        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
+    forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    ts = npg.BDF2(t_start=0, t_stop=1.0, dt=1e-3)
+    bic = lambda x: 0.1 * np.exp(
+        -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05)
+
+    kw = dict(coarse_dense_max=256,  # force the iterative coarse path
+              inv_rtol=1e-10, inv_atol=1e-10)
+    m_l2 = npg.PGModel(fe, params, forc, ts, saddle_coarse_l2=True, **kw)
+    m_no = npg.PGModel(fe, params, forc, ts, saddle_coarse_l2=False, **kw)
+    assert m_l2.saddle_coarse_l2 and "sc2_inv" in m_l2.ops
+    assert 1 < m_l2._sc2_na < mesh.n_vertices
+    st = m_l2.set_b(m_l2.rest_state(), bic)
+    u1, _, a1 = m_l2.invert_jit(m_l2.ops, st)
+    u2, _, a2 = m_no.invert_jit(m_no.ops, st)
+    rel = float(np.linalg.norm(np.asarray(u1) - np.asarray(u2))
+                / np.linalg.norm(np.asarray(u2)))
+    assert rel < 1e-5, rel
+    assert int(a1["inv_iters"]) <= int(a2["inv_iters"]), (
+        int(a1["inv_iters"]), int(a2["inv_iters"]))
+
+
 def test_args_table_mode_bitwise(bowl_model):
     """"args" table mode (static tables as device-array jit arguments,
     required at production scale where inlined constants overflow the
