@@ -251,8 +251,18 @@ class PGModel:
         if saddle_coarse_inner is None:
             # the iterative coarse solve needs a deeper inner budget
             # in the rotation-dominated regime (measured: k=16 stalls
-            # the outer at eps=0.05 while k=40 converges h-flat)
-            saddle_coarse_inner = 40 if self.inner_method == "inner_gmres" else 16
+            # the outer at eps=0.05 while k=40 converges h-flat).
+            # With the aggregate second level the cycle is strong
+            # enough to apply DIRECTLY (k=0, no inner Krylov): the
+            # 0.87M sweep measured 0.274/0.321/0.395/0.446/0.670
+            # steps/s at k=16/8/4/2/0 (artifacts/sweep_l2_inner*.json);
+            # the rotation-dominated regime keeps a moderate budget.
+            if self.saddle_coarse_l2:
+                saddle_coarse_inner = (
+                    8 if self.inner_method == "inner_gmres" else 0)
+            else:
+                saddle_coarse_inner = (
+                    40 if self.inner_method == "inner_gmres" else 16)
         self.saddle_coarse_inner = saddle_coarse_inner
         if inner_iters_u is None:
             # smoothing need only damp high frequencies next to a
@@ -844,6 +854,13 @@ class PGModel:
                 inv=ops["sc2_inv"], agg=ops["sc2_agg"],
                 n_agg=self._sc2_na, free_c=free_c)
             M_in = lambda r_: sc2(cmat, r_, Mc(r_))
+
+        if k <= 0:
+            # k=0: apply the two-level cycle once as the coarse solve
+            # (no inner Krylov at all) -- admissible under the flexible
+            # outer, and the fastest measured config once the aggregate
+            # level makes the cycle strong
+            return M_in
 
         def solve(rc):
             zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=M_in,

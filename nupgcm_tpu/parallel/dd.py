@@ -966,11 +966,17 @@ class DDModel:
                             n_agg=sc2_na, free_c=free_c)
                         M_in = lambda rv: sc2(cmat, rv, Mc(rv))
 
-                    def coarse_solve(rc):
-                        zc, _ = gmres(cmat, rc, jnp.zeros_like(rc), M=M_in,
-                                      flexible=True, m=sc_inner_k,
-                                      itmax=sc_inner_k, atol=0.0, rtol=1e-2)
-                        return zc
+                    if sc_inner_k <= 0:
+                        # one two-level cycle as the coarse solve (see
+                        # models/model.py::_saddle_coarse_solver)
+                        coarse_solve = M_in
+                    else:
+                        def coarse_solve(rc):
+                            zc, _ = gmres(cmat, rc, jnp.zeros_like(rc),
+                                          M=M_in, flexible=True,
+                                          m=sc_inner_k, itmax=sc_inner_k,
+                                          atol=0.0, rtol=1e-2)
+                            return zc
 
             def M_block(rv):
                 ru, rp = rv[: 3 * pu_.chunk], rv[3 * pu_.chunk:]

@@ -430,6 +430,7 @@ def test_saddle_coarse_l2_aggregate_level():
         -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05)
 
     kw = dict(coarse_dense_max=256,  # force the iterative coarse path
+              saddle_coarse_inner=16,  # same budget in both configs
               inv_rtol=1e-10, inv_atol=1e-10)
     m_l2 = npg.PGModel(fe, params, forc, ts, saddle_coarse_l2=True, **kw)
     m_no = npg.PGModel(fe, params, forc, ts, saddle_coarse_l2=False, **kw)
