@@ -49,9 +49,9 @@ def build_model(physics: str = "mixing"):
             tau_x=lambda x: -0.1 * np.cos(np.pi / 2 * x[1]), tau_y=0.0,
             b_surface_bc=npg.SurfaceDirichletBC(0.0),
             conv_param=npg.ConvectionParameterization(
-                kappa_c=10.0, N2min=1e-3),
+                kappa_c=10.0, N2_min=1e-3),
             eddy_param=npg.EddyParameterization(
-                f=lambda x: 1.0 + 0.5 * x[1], N2min=float(np.sqrt(1e-3))),
+                f=lambda x: 1.0 + 0.5 * x[1], N2_min=float(np.sqrt(1e-3))),
         )
     else:
         forc = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,

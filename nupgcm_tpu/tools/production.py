@@ -109,9 +109,9 @@ def build_model(h: float, refine=None, windowed=None, **model_kw):
         nu=1.0, kappa_h=kappa, kappa_v=kappa, tau_x=tau_x, tau_y=0.0,
         b_surface_bc=npg.SurfaceDirichletBC(b_surface),
         conv_param=npg.ConvectionParameterization(
-            kappa_c=0.2 / dims["kappa0"], N2min=1e-3),
+            kappa_c=0.2 / dims["kappa0"], N2_min=1e-3),
         eddy_param=npg.EddyParameterization(
-            f=lambda x: x[1], N2min=float(np.sqrt(1e-3))),
+            f=lambda x: x[1], N2_min=float(np.sqrt(1e-3))),
     )
     mesh = channel_basin_no_flat_round_end(h, alpha=alpha,
                                            refinement_factor=refine)
