@@ -98,7 +98,11 @@ class EddyParameterization:
     def nu(self, f_q, abz):
         s, nmin = self.smoothing, self.nu_min
         nu_eddy = f_q * (f_q / jnp.sqrt(self.N2_min ** 2 + abz * abz))
-        return jnp.log(jnp.exp(s * nmin) + jnp.exp(s * nu_eddy)) / s
+        # stable LogSumExp: the naive log(exp(s a)+exp(s b))/s overflows
+        # f32 once s*nu_eddy > ~88 (nu_eddy ~ 9 at s=10), which weakly
+        # stratified regions reach easily -- the inf then NaNs the
+        # whole inversion matrix
+        return jnp.logaddexp(s * nmin, s * nu_eddy) / s
 
 
 @dataclass(frozen=True)

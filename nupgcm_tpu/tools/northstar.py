@@ -73,14 +73,29 @@ def build_model(physics: str = "mixing"):
     )
     fe = npg.FEData(mesh, spaces)
     dt = 1e-4 * mu / (alpha * eps) ** 2
-    ts = npg.BDF2(t_start=0, t_stop=2000 * dt, dt=dt)
+    if physics == "full":
+        # full parameterizations run under adaptive-CFL BDF1, exactly
+        # how the reference runs its full-physics production configs
+        # (scratch/run.jl:158-163) -- the wind-driven flow grows well
+        # past the mixing suite's fixed-dt stability margin
+        ts = npg.BDF1(t_start=0, t_stop=1e9, dt=dt, adaptive=True,
+                      CFL_factor=0.5)
+    else:
+        ts = npg.BDF2(t_start=0, t_stop=2000 * dt, dt=dt)
     # f32's tightest reachable Krylov tolerances (~1e-7/1e-8): the
     # default 1e-6 leaves the 3D trajectory ~1e-2 from the reference
     # golden after 50 steps; these hold the 1e-3 bar (same policy as
     # tests/test_golden_reference.py f32 variants)
+    kw = {}
+    if physics == "full":
+        # the eddy rebuild shifts nu far from the frozen Chebyshev
+        # spectral bounds (up to f^2/N2_min ~ 70x contrast in
+        # destratified boundary layers); the bound-free inner-GMRES
+        # smoother stays stable under that drift
+        kw["inner_method"] = "inner_gmres"
     model = npg.PGModel(fe, params, forc, ts,
                         inv_atol=1e-7, inv_rtol=1e-7,
-                        evo_atol=1e-8, evo_rtol=1e-8)
+                        evo_atol=1e-8, evo_rtol=1e-8, **kw)
     return model, mesh_src
 
 
