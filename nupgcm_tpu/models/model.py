@@ -1445,6 +1445,69 @@ class PGModel:
             dt_new = jnp.minimum(dt_new, 2.0 * state.dt)
         return dt_new
 
+    def refresh_precond(self, ops, state: State):
+        """Host-side preconditioner refresh from the CURRENT eddy
+        viscosity.
+
+        The reference rebuilds the inversion matrix every 10 steps but
+        keeps its preconditioner frozen (src/model.jl:160-170); in
+        eddy runs nu drifts up to f^2/N2_min (~70x contrast in
+        destratified boundary layers), the frozen Chebyshev bounds /
+        coarse operators go stale, and the outer iteration count blows
+        up -- the failure mode the reference's own preconditioner
+        study logs (scratch/inversion_log.md).  This recomputes every
+        nu-dependent preconditioner operator (smoother block +
+        diagonals + spectral bound, saddle-coarse tensors, aggregate
+        second-level dense inverse) from the current state.  All array
+        shapes are unchanged, and ops ride as jit ARGUMENTS, so the
+        refreshed values flow into the compiled step without any
+        retrace.  Call between step blocks (seconds of host work);
+        ``run(n_precond_refresh=...)`` does it on a cadence."""
+        fr = self.forcings
+        if not fr.eddy_param.is_on:
+            return ops
+        from ..solvers.preconditioners import power_lmax
+        from ..utils.precision import precision_ctx
+
+        c = self.const
+        sp = self.fe.spaces
+        with precision_ctx(self.matmul_precision):
+            Gb3 = self._grads_b()
+            abz = self.params.alpha * (
+                self.params.N2 + jnp.einsum(
+                    "cqi,ci->cq", Gb3[..., 2],
+                    jnp.asarray(state.b)[c["cd_b"]])
+            )
+            nu_q = fr.eddy_param.nu(jnp.asarray(c["f_eddy_q"]), abz)
+            ops = dict(ops)
+            # inversion blocks: same values the next in-jit eddy
+            # rebuild would produce (kept consistent with the refresh)
+            ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"] = (
+                self._assemble_inversion_elems(nu_q))
+            # smoother block + hoisted diagonal + spectral bound
+            ops["visc_e"] = self._assemble_visc_elems(nu_q)
+            visc_op = MaskedOperator(self._visc_operator(ops["visc_e"]),
+                                     c["free_u"])
+            ops["visc_dinv"] = 1.0 / visc_op.diagonal()
+            ops["lmax_u"] = power_lmax(visc_op, ops["visc_dinv"], sp.n_u)
+            nu_host = np.asarray(nu_q, np.float64)
+            if self.twogrid:
+                self._assemble_coarse(ops)
+                cop_ = MaskedOperator(self._coarse_operator(ops["coarse_e"]),
+                                      c["tg_coarse_free"])
+                ops["coarse_dinv"] = 1.0 / cop_.diagonal()
+            if self.saddle_coarse:
+                # rebuilds sc_* tensors, sc_sigma/sc_pin/sc_lmax and
+                # (elems path) the aggregate second-level dense inverse
+                self._assemble_saddle_coarse(ops, nu_host)
+                if "sc_visc_e" in ops:
+                    cvisc_ = MaskedOperator(
+                        self._coarse_operator(ops["sc_visc_e"]),
+                        c["tg_coarse_free"])
+                    ops["sc_visc_dinv"] = 1.0 / cvisc_.diagonal()
+        jax.block_until_ready(ops["visc_dinv"])
+        return ops
+
     def _eddy_rebuild(self, ops, state: State):
         """Eddy-viscosity inversion-matrix rebuild (reference
         src/model.jl:160-170); preconditioner kept unchanged."""
@@ -1697,6 +1760,7 @@ class PGModel:
         plot_callback: Optional[Callable] = None,
         max_steps: Optional[int] = None,
         steps_per_block: int = 1,
+        n_precond_refresh: Optional[int] = None,
         log: Callable = print,
     ) -> State:
         """Advance until t >= t_stop (reference run!, src/model.jl:90-211).
@@ -1764,6 +1828,9 @@ class PGModel:
                 save_callback(self, state, i)
             if n_plot and i % n_plot == 0 and plot_callback is not None:
                 plot_callback(self, state, i)
+            if (n_precond_refresh and i % n_precond_refresh == 0
+                    and self.forcings.eddy_param.is_on):
+                self.ops = self.refresh_precond(self.ops, state)
             if max_steps is not None and i >= int(max_steps):
                 break
         return state

@@ -148,7 +148,8 @@ def main():
     state = model.rest_state()
     # ---- 50-step prefix vs the reference golden -----------------------
     t0 = time.time()
-    state = model.run(state, n_info=0, max_steps=50)
+    state = model.run(state, n_info=0, max_steps=50,
+                      n_precond_refresh=25 if args.physics == "full" else None)
     print(f"50-step prefix: {time.time() - t0:.1f}s", flush=True)
     if os.path.exists(REF_GOLDEN) and args.physics == "mixing":
         from nupgcm_tpu.io import gridap as gi
@@ -181,6 +182,9 @@ def main():
         model.ops = ops
         state = st2
         i += n
+        if args.physics == "full":
+            # keep the preconditioner tracking the evolving eddy nu
+            model.ops = model.refresh_precond(model.ops, state)
         u_max = float(auxs["u_max"][-1])
         b_max = float(auxs["b_max"][-1])
         assert np.isfinite(u_max) and np.isfinite(b_max) and \

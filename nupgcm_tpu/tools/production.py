@@ -163,7 +163,10 @@ def main():
 
     state = model.rest_state()
     t0 = time.time()
-    state = model.run(state, n_info=10, max_steps=args.steps)
+    # eddy runs: refresh the preconditioner from the evolving nu field
+    # every 25 steps (host-side, shape-stable, no retrace)
+    state = model.run(state, n_info=10, max_steps=args.steps,
+                      n_precond_refresh=25)
     wall = time.time() - t0
     u = np.asarray(state.u)
     stats.update({
