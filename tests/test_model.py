@@ -404,6 +404,55 @@ def test_saddle_coarse_scales_past_dense():
     assert it2 <= it1 + 15, iters  # near-flat growth over 5x DoFs
 
 
+def test_precond_refresh_tracks_eddy_nu():
+    """refresh_precond: after the eddy viscosity drifts from the
+    build-time field, a host-side refresh restores solver health --
+    same shapes (no retrace), converged residual, and no more
+    iterations than the stale-preconditioner solve."""
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    mesh = npg.generators.bowl3D(0.35, alpha, nz=3)
+    spaces = npg.Spaces(
+        mesh, u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True),
+                      (False, False, True)],
+        b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0])
+    fe = npg.FEData(mesh, spaces)
+    params = npg.Parameters(eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+                            f=lambda x: 1.0 + 0.5 * x[1],
+                            H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2))
+    kap = lambda x: 1e-2 + np.exp(
+        -(x[2] + alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.1 * alpha))
+    forc = npg.Forcings(
+        nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0, tau_y=0.0,
+        b_surface_bc=npg.SurfaceDirichletBC(0.0),
+        eddy_param=npg.EddyParameterization(
+            f=lambda x: 1.0 + 0.5 * x[1], N2_min=float(np.sqrt(1e-3))))
+    ts = npg.BDF2(t_start=0, t_stop=1e9, dt=1e-2)
+    m = npg.PGModel(fe, params, forc, ts, inv_atol=1e-7, inv_rtol=1e-7)
+    st = m.rest_state()
+    # march past several in-jit eddy rebuilds so nu drifts from the
+    # build-time field the preconditioner was assembled with
+    ops, st, aux = m.multi_step_jit(m.ops, st, 30)
+    it_stale = int(np.asarray(aux["inv_iters"])[-1])
+    new_ops = m.refresh_precond(ops, st)
+    for k in ops:
+        assert np.shape(new_ops[k]) == np.shape(ops[k]), k  # no retrace
+    assert np.abs(np.asarray(new_ops["visc_e"])
+                  - np.asarray(ops["visc_e"])).max() > 0  # really updated
+    m.ops = new_ops
+    _, _, aux2 = m.multi_step_jit(m.ops, st, 1)
+    it_fresh = int(np.asarray(aux2["inv_iters"])[-1])
+    res = float(np.asarray(aux2["inv_res"])[-1])
+    assert np.isfinite(res) and res < 1e-6
+    assert it_fresh <= it_stale + 2, (it_fresh, it_stale)
+    # no-op without an eddy parameterization
+    forc2 = npg.Forcings(nu=1.0, kappa_h=kap, kappa_v=kap, tau_x=0.0,
+                         tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0))
+    m2 = npg.PGModel(fe, params, forc2, ts)
+    assert m2.refresh_precond(m2.ops, m2.rest_state()) is m2.ops
+
+
 def test_saddle_coarse_l2_aggregate_level():
     """Second (aggregate) coarse level on the iterative coarse path:
     same solution at tight tolerance, and at least as few outer FGMRES
