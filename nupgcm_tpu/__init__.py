@@ -47,6 +47,7 @@ from .mesh.core import Mesh
 from .mesh.gmsh_reader import read_msh
 from .mesh.writer import write_msh
 from .mesh import generators
+from .utils.timing import memory_status, print_memory_status
 from . import plotting, postprocess
 
 __version__ = "0.1.0"
@@ -55,5 +56,5 @@ __all__ = [
     "ConvectionParameterization", "EddyParameterization",
     "Spaces", "FEData", "PGModel", "State", "BlowUpError",
     "BDF1", "BDF2", "Mesh", "read_msh", "write_msh", "generators",
-    "plotting", "postprocess",
+    "plotting", "postprocess", "memory_status", "print_memory_status",
 ]

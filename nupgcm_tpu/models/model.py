@@ -572,7 +572,7 @@ class PGModel:
 
         return self._chunked_cells(build, c["wq"], nu_q, c["f_q"], c["invJT"])
 
-    def _assemble_coarse(self, ops):
+    def _assemble_coarse(self, ops, nu_q=None):
         """Two-grid u-block coarse level: the P1-vertex (Galerkin)
         coarse viscous operator.  Because P1 c P2 is a nested
         inclusion, rediscretizing the same bilinear form with P1
@@ -580,9 +580,14 @@ class PGModel:
 
         Small meshes: precomputed dense inverse (one MXU matvec per
         application).  Large meshes: element tensors for an inner-CG
-        coarse solve (P1 matvecs are ~7x cheaper than fine P2 ones)."""
+        coarse solve (P1 matvecs are ~7x cheaper than fine P2 ones).
+
+        ``nu_q`` overrides the build-time viscosity table so
+        refresh_precond rebuilds the coarse level from the CURRENT
+        eddy viscosity rather than the frozen c["nu_q"]."""
         c = self.const
         fe = self.fe
+        nu_q = c["nu_q"] if nu_q is None else jnp.asarray(nu_q, self.dtype)
         a2e2 = jnp.asarray(self.params.a2e2, self.dtype)
         eye3 = jnp.eye(3, dtype=self.dtype)
         nlp = c["phi_p"].shape[1]
@@ -598,7 +603,7 @@ class PGModel:
 
         if not self.coarse_dense:
             ops["coarse_e"] = jax.jit(lambda: self._chunked_cells(
-                build, c["wq"], c["nu_q"], c["f_q"], c["invJT"]))()
+                build, c["wq"], nu_q, c["f_q"], c["invJT"]))()
             return
 
         cd_p = np.asarray(fe.cd_p, np.int64)
@@ -608,7 +613,7 @@ class PGModel:
 
         @jax.jit
         def dense_inv():
-            elem = self._chunked_cells(build, c["wq"], c["nu_q"], c["f_q"],
+            elem = self._chunked_cells(build, c["wq"], nu_q, c["f_q"],
                                        c["invJT"])
             A = jnp.zeros((Nc, Nc), self.dtype).at[rows, cols].add(elem.ravel())
             free = jnp.asarray(c["tg_coarse_free"])
@@ -735,36 +740,48 @@ class PGModel:
             np.asarray(c["tg_coarse_free"], np.float64),
             np.asarray(c["free_inv"][fe.spaces.n_u:], np.float64),
         ])
-        agg, na = _aggregate_vertices(
-            np.asarray(fe.cd_p[: fe.mesh.n_cells], np.int64), nv,
-            max(1, self.coarse_dense_max // 4))
-        N2 = 4 * na
+        # aggregation + dofmap depend only on the mesh; cache them so
+        # refresh_precond (every ~25 steps in eddy production runs)
+        # skips the BFS and index rebuild (ADVICE r4)
+        if not hasattr(self, "_sc2_cache"):
+            agg, na = _aggregate_vertices(
+                np.asarray(fe.cd_p[: fe.mesh.n_cells], np.int64), nv,
+                max(1, self.coarse_dense_max // 4))
+            dofmap = np.concatenate([
+                (3 * agg[:, None] + np.arange(3)).reshape(-1),
+                3 * na + agg])
+            self._sc2_cache = (agg, na, dofmap)
         # fine coarse-level dof (3nv u then nv p) -> aggregate dof
         # (3*aggregate + component, then 3na + aggregate)
-        dofmap = np.concatenate([
-            (3 * agg[:, None] + np.arange(3)).reshape(-1), 3 * na + agg])
+        agg, na, dofmap = self._sc2_cache
+        N2 = 4 * na
 
-        A2 = np.zeros(N2 * N2)
-
-        def scatter(rows, cols, vals):
+        def scatter_idx(rows, cols, vals):
             r = np.repeat(rows, cols.shape[1], axis=1).ravel()
             cc = np.tile(cols, (1, rows.shape[1])).ravel()
             w = vals.ravel() * free[r] * free[cc]
-            lin = dofmap[r] * N2 + dofmap[cc]
-            return np.bincount(lin, weights=w, minlength=N2 * N2)
+            return dofmap[r] * N2 + dofmap[cc], w
 
-        A2 += scatter(idx_u, idx_u, uu)
-        A2 += scatter(idx_u, idx_p, up)
-        A2 += scatter(idx_p, idx_u, pu)
-        A2 += scatter(idx_p, idx_p, stab)
+        # one combined bincount: a single N2^2 allocation instead of
+        # four sequential ones (ADVICE r4 host-memory churn)
+        lins, ws = zip(*(scatter_idx(r, cols, v) for r, cols, v in
+                         ((idx_u, idx_u, uu), (idx_u, idx_p, up),
+                          (idx_p, idx_u, pu), (idx_p, idx_p, stab))))
+        A2 = np.bincount(np.concatenate(lins), weights=np.concatenate(ws),
+                         minlength=N2 * N2)
         A2 = A2.reshape(N2, N2)
         # Galerkin of the masked operator's identity-on-pinned part,
         # P^T (I-F) P: keeps aggregates fully inside the Dirichlet
         # boundary nonsingular
         A2[np.diag_indices(N2)] += np.bincount(
             dofmap, weights=1.0 - free, minlength=N2)
-        # Galerkin of the rank-one pressure pin sigma w w^T
-        w = np.concatenate([np.zeros(3 * nv), pv])
+        # Galerkin of the rank-one pressure pin sigma w w^T.  pv must
+        # be masked by the pressure free mask so the aggregate matrix
+        # is the exact Galerkin projection of cmat's sc_pin (which is
+        # free-masked, _assemble_saddle_coarse_elems) -- on meshes with
+        # pinned pressure dofs (periodic slaves) the unmasked weights
+        # would disagree (ADVICE r4)
+        w = np.concatenate([np.zeros(3 * nv), pv * free[3 * nv:]])
         w /= np.linalg.norm(w)
         wc = np.bincount(dofmap, weights=w, minlength=N2)
         A2 += float(ops["sc_sigma"]) * np.outer(wc, wc)
@@ -1492,7 +1509,7 @@ class PGModel:
             ops["lmax_u"] = power_lmax(visc_op, ops["visc_dinv"], sp.n_u)
             nu_host = np.asarray(nu_q, np.float64)
             if self.twogrid:
-                self._assemble_coarse(ops)
+                self._assemble_coarse(ops, nu_q)
                 cop_ = MaskedOperator(self._coarse_operator(ops["coarse_e"]),
                                       c["tg_coarse_free"])
                 ops["coarse_dinv"] = 1.0 / cop_.diagonal()
@@ -1783,6 +1800,7 @@ class PGModel:
         t0 = t_last_info = time.time()
         i = int(state.step)
         i0 = i
+        last_refresh = i
         while float(state.t) < t_stop:
             if steps_per_block > 1:
                 self.ops, state, auxs = self.multi_step_jit(
@@ -1828,9 +1846,14 @@ class PGModel:
                 save_callback(self, state, i)
             if n_plot and i % n_plot == 0 and plot_callback is not None:
                 plot_callback(self, state, i)
-            if (n_precond_refresh and i % n_precond_refresh == 0
+            # steps-since-last counter, NOT a modulo test: with
+            # steps_per_block > 1, i only hits multiples of the block
+            # size, and a cadence the block size does not divide would
+            # otherwise never fire (ADVICE r4)
+            if (n_precond_refresh and i - last_refresh >= n_precond_refresh
                     and self.forcings.eddy_param.is_on):
                 self.ops = self.refresh_precond(self.ops, state)
+                last_refresh = i
             if max_steps is not None and i >= int(max_steps):
                 break
         return state

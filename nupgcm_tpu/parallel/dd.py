@@ -305,6 +305,10 @@ class DDModel:
         self.has_saddle_coarse = bool(m.saddle_coarse) and (
             "saddle_coarse_inv" in ops or "sc_uu" in ops
         )
+        # nu-dependent spectral bounds ride as REPLICATED 0-d tables
+        # (not trace-time constants) so refresh_precond can update them
+        # without retracing the compiled step
+        tr["lmax_u"] = np.asarray(ops["lmax_u"], dt)
         if self.has_saddle_coarse:
             nv = sp.p_space.ndof
             tr["tg_coarse_free"] = np.asarray(c["tg_coarse_free"], dt)
@@ -337,6 +341,8 @@ class DDModel:
                 t["cd_pg"] = cdg.astype(np.int32)
                 t["gperm_pg"], t["seg_pg"] = self._plan(cdg.reshape(S, -1), nv)
                 tr["sc_pin"] = np.asarray(ops["sc_pin"], dt)
+                tr["sc_sigma"] = np.asarray(ops["sc_sigma"], dt)
+                tr["sc_lmax"] = np.asarray(ops["sc_lmax"], dt)
                 self.sc_sigma = float(ops["sc_sigma"])
                 self.sc_lmax = float(ops["sc_lmax"])
                 if "sc2_inv" in ops:
@@ -840,7 +846,7 @@ class DDModel:
                                   atol=0.0, rtol=1e-8, psum_axis=AXIS)
                     return zu
                 return chebyshev(visc_mv, visc_dinv, ru, iu,
-                                 lmax_u / cond_ratio, lmax_u)
+                                 tr["lmax_u"] / cond_ratio, tr["lmax_u"])
 
             # ---- replicated saddle-coarse correction -----------------
             # (solvers/preconditioners.py SaddleCoarseCorrection, DD
@@ -909,7 +915,7 @@ class DDModel:
                         y = jnp.concatenate([yu, yp])
                         y = jnp.where(free_c.astype(bool), y, xc)
                         w = tr["sc_pin"]
-                        return y + sc_sigma * w * jnp.vdot(w, xc)
+                        return y + tr["sc_sigma"] * w * jnp.vdot(w, xc)
 
                     def cvisc_mv(xu):
                         xu_m = xu * tgf
@@ -952,7 +958,8 @@ class DDModel:
                                           rtol=1e-8)
                         else:
                             zu = chebyshev(cvisc_mv, tr["cvisc_dinv"], rcu,
-                                           iu_c, sc_lmax / cond_ratio, sc_lmax)
+                                           iu_c, tr["sc_lmax"] / cond_ratio,
+                                           tr["sc_lmax"])
                         return jnp.concatenate([zu, zp])
 
                     # second (aggregate) level: coarse vectors are
@@ -1156,9 +1163,66 @@ class DDModel:
         return self._multi_step(self.tables_dev, self.tables_repl_dev,
                                 dd_state, int(n))
 
+    def refresh_precond(self, dd_state: dict) -> dict:
+        """DD counterpart of PGModel.refresh_precond (ADVICE r4 /
+        ROADMAP 13): rebuild every nu-dependent preconditioner table
+        from the CURRENT eddy viscosity and re-shard it.
+
+        The host PGModel recomputes the operators (seconds of work,
+        models/model.py refresh_precond); the affected sharded tables
+        (smoother block + diagonal, coarse saddle tensors) and
+        replicated tables (spectral bounds, aggregate dense inverse)
+        are then re-pushed to the mesh.  All shapes are unchanged and
+        every refreshed value flows through jit arguments, so the
+        compiled step is reused without retrace.  The state's own
+        inversion element blocks are refreshed too (same values the
+        next in-step eddy rebuild would produce).  Returns the updated
+        dd state; without the eddy parameterization this is a no-op."""
+        m = self.model
+        if not self.eddy_on:
+            return dd_state
+        state = self.from_dd(dd_state)
+        m.ops = m.refresh_precond(m.ops, state)
+        ops, dt = m.ops, m.dtype
+        pu_ = self.part_u
+
+        def vec_dd(v, part, width=1):
+            v = np.asarray(v).reshape(-1)
+            return np.asarray(
+                np.pad(v, (0, self.S * part.chunk * width - v.shape[0])),
+                dt)
+
+        shard_new = {"visc_e": self._reorder_cells(np.asarray(ops["visc_e"])),
+                     "visc_dinv": vec_dd(ops["visc_dinv"], pu_, 3)}
+        repl_new = {"lmax_u": np.asarray(ops["lmax_u"], dt)}
+        if self.has_saddle_coarse:
+            if "sc_inv" in self.tables_repl:
+                repl_new["sc_inv"] = np.asarray(ops["saddle_coarse_inv"], dt)
+            else:
+                for k in ("sc_uu", "sc_up", "sc_pu", "sc_pp", "sc_visc_e"):
+                    shard_new[k] = self._reorder_cells(np.asarray(ops[k]))
+                repl_new["sc_pin"] = np.asarray(ops["sc_pin"], dt)
+                repl_new["sc_sigma"] = np.asarray(ops["sc_sigma"], dt)
+                repl_new["sc_lmax"] = np.asarray(ops["sc_lmax"], dt)
+                repl_new["cvisc_dinv"] = np.asarray(ops["sc_visc_dinv"], dt)
+                if "sc2_inv" in self.tables_repl:
+                    repl_new["sc2_inv"] = np.asarray(ops["sc2_inv"], dt)
+        for k, v in shard_new.items():
+            self.tables[k] = np.asarray(v, dt)
+            self.tables_dev[k] = self._global(self.tables[k], P(AXIS))
+        for k, v in repl_new.items():
+            self.tables_repl[k] = v
+            self.tables_repl_dev[k] = self._global(v, P())
+        out = dict(dd_state)
+        for k in ("A_uu_e", "A_up_e", "A_pu_e"):
+            out[k] = self._global(
+                np.asarray(self._reorder_cells(np.asarray(ops[k])), dt),
+                P(AXIS))
+        return out
+
     def run(self, state, max_steps: int = None, n_info: int = 10,
             n_save=None, save_callback=None, steps_per_block: int = 1,
-            log=print) -> State:
+            n_precond_refresh: int = None, log=print) -> State:
         """Production run loop over the sharded state: scan-blocked
         dispatch, blow-up guard, and the reference's progress block
         (field parity with PGModel.run / reference src/model.jl:90-211).
@@ -1181,6 +1245,7 @@ class DDModel:
         t_stop = float(self.model.ts.t_stop)
         t0 = t_last = time.time()
         i = i0 = int(jax.device_get(dd["step"]))
+        last_refresh = i
         while float(jax.device_get(dd["t"])) < t_stop:
             if steps_per_block > 1:
                 dd, auxs = self.multi_step(dd, steps_per_block)
@@ -1218,6 +1283,12 @@ class DDModel:
                 sys.stderr.flush()
             if n_save and i % n_save == 0 and save_callback is not None:
                 save_callback(self, dd, i)
+            # steps-since-last counter (not modulo): robust to block
+            # sizes that do not divide the cadence (ADVICE r4)
+            if (n_precond_refresh and i - last_refresh >= n_precond_refresh
+                    and self.eddy_on):
+                dd = self.refresh_precond(dd)
+                last_refresh = i
             if max_steps is not None and i >= int(max_steps):
                 break
         return self.from_dd(dd)

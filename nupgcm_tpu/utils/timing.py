@@ -57,6 +57,49 @@ class Timers:
 TIMERS = Timers()
 
 
+def memory_status() -> str:
+    """Host + device memory report (reference ``print_memory_status``,
+    src/architectures.jl:19-20 / ext/nuPGCMCUDAExt.jl:33).
+
+    Reports host maxrss (the reference CPU path), per-device HBM
+    usage from PJRT ``memory_stats`` when the backend exposes it, and
+    the total bytes of live jax.Arrays per device as a fallback (the
+    axon tunnel backend returns no stats)."""
+    import resource
+
+    import jax
+
+    maxrss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    lines = [f"host maxrss: {maxrss_kb / 1048576:.2f} GB"]
+    live = {}
+    for a in jax.live_arrays():
+        try:
+            for s in a.addressable_shards:
+                live[s.device] = live.get(s.device, 0) + s.data.nbytes
+        except Exception:
+            pass
+    for d in jax.local_devices():
+        stats = None
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            pass
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 2**30
+            lim = stats.get("bytes_limit", 0) / 2**30
+            peak = stats.get("peak_bytes_in_use", 0) / 2**30
+            lines.append(f"{d}: {used:.2f} / {lim:.2f} GB in use "
+                         f"(peak {peak:.2f} GB)")
+        else:
+            lines.append(f"{d}: {live.get(d, 0) / 2**30:.2f} GB live "
+                         "jax.Arrays (backend reports no HBM stats)")
+    return "\n".join(lines)
+
+
+def print_memory_status():
+    print(memory_status(), flush=True)
+
+
 @contextmanager
 def device_trace(logdir: str):
     """Capture a jax.profiler device trace (view with TensorBoard or

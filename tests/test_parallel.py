@@ -299,6 +299,60 @@ def test_dd_eddy_rebuild_parity():
     assert np.abs(np.asarray(s1.u) - np.asarray(s2.u)).max() < 1e-9
 
 
+def test_dd_refresh_precond_parity():
+    """DDModel.refresh_precond (the DD counterpart of the single-device
+    eddy preconditioner refresh, ADVICE r4 / ROADMAP 13) must leave the
+    trajectory identical to the single-device refresh path: the refresh
+    only swaps preconditioner tables (plus the same inversion blocks the
+    in-step rebuild would produce), all through jit arguments without
+    retrace."""
+    from nupgcm_tpu.parallel.dd import DDModel
+
+    eps, alpha, mu = 2e-1, 0.5, 1e1
+    params = npg.Parameters(
+        eps=eps, alpha=alpha, mu_rho=mu, N2=1 / alpha,
+        f=lambda x: 1.0 + 0.5 * x[1],
+        H=lambda x: alpha * (1 - x[0] ** 2 - x[1] ** 2),
+    )
+    eddy = npg.EddyParameterization(f=lambda x: 1.0 + 0.5 * x[1],
+                                    N2_min=1e-2)
+    forc = npg.Forcings(nu=1.0, kappa_h=1e-2, kappa_v=1e-2, tau_x=0.0,
+                        tau_y=0.0, b_surface_bc=npg.SurfaceDirichletBC(0.0),
+                        eddy_param=eddy)
+    mesh = npg.generators.bowl2D(0.15, alpha)
+    spaces = npg.Spaces(
+        mesh, u_diri_tags=["bottom", "coastline", "surface"],
+        u_diri_vals=[(0, 0, 0)] * 3,
+        u_diri_masks=[(True, True, True), (True, True, True),
+                      (False, False, True)],
+        b_diri_tags=["coastline", "surface"], b_diri_vals=[0.0, 0.0])
+    fe = npg.FEData(mesh, spaces)
+    dt = 1e-4 * mu / (alpha * eps) ** 2
+    ts = npg.BDF2(t_start=0, t_stop=1, dt=dt)
+    kw = dict(inv_atol=1e-11, inv_rtol=1e-11, evo_atol=1e-13,
+              evo_rtol=1e-13, inv_itmax=800)
+    bic = lambda x: -0.05 * np.exp(
+        (x[2] - alpha * (1 - x[0] ** 2 - x[1] ** 2)) / (0.3 * alpha))
+
+    # 11 steps with a refresh cadence of 5: two refreshes fire, plus
+    # the in-step 10-step eddy rebuild
+    m1 = npg.PGModel(fe, params, forc, ts, **kw)
+    s1 = m1.run(m1.set_b(m1.rest_state(), bic), n_info=0, max_steps=11,
+                n_precond_refresh=5)
+
+    m2 = npg.PGModel(fe, params, forc, ts, **kw)
+    dd = DDModel(m2, 8)
+    lmax0 = float(np.asarray(dd.tables_repl["lmax_u"]))
+    s2 = dd.run(m2.set_b(m2.rest_state(), bic), n_info=0, max_steps=11,
+                n_precond_refresh=5)
+    # the refresh must actually have re-pushed nu-dependent tables
+    lmax1 = float(np.asarray(dd.tables_repl_dev["lmax_u"]))
+    assert lmax1 != lmax0
+
+    assert np.abs(np.asarray(s1.b) - np.asarray(s2.b)).max() < 1e-9
+    assert np.abs(np.asarray(s1.u) - np.asarray(s2.u)).max() < 1e-9
+
+
 def test_dd_windowed_matvec_parity():
     """DD shard matvecs through the Pallas windowed one-hot kernels
     (ops/window.py, interpret mode on CPU) must reproduce the take-path
