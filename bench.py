@@ -67,6 +67,64 @@ def peak_bandwidth():
     return 819.0
 
 
+def tunnel_sentinel():
+    """Fixed-size reference kernels timed up front, so degraded-tunnel
+    claims are data rather than lore (VERDICT r4: perf numbers carried
+    unquantified tunnel noise).  Healthy v5e reference points: the
+    4096^3 bf16 matmul ~0.8 ms (~170 Tflop/s effective), the 1 GB
+    copy ~2.7 ms (~750 GB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return a @ a
+
+    jax.block_until_ready(mm(a))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(mm(a))
+        ts.append(time.time() - t0)
+    mm_ms = float(np.median(ts)) * 1e3
+
+    x = jnp.ones((1024, 1024, 256), jnp.float32)  # 1 GiB
+
+    @jax.jit
+    def cp(x):
+        return x + 1.0
+
+    jax.block_until_ready(cp(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(cp(x))
+        ts.append(time.time() - t0)
+    copy_gbps = 2 * x.nbytes / float(np.median(ts)) / 1e9
+    flops = 2 * 4096 ** 3 / (mm_ms / 1e3) / 1e12
+    log(f"[sentinel] 4096^3 bf16 matmul {mm_ms:.2f} ms ({flops:.0f} Tflop/s), "
+        f"1 GiB r+w stream {copy_gbps:.0f} GB/s")
+    return {"sentinel_matmul_ms": round(mm_ms, 3),
+            "sentinel_matmul_tflops": round(flops, 1),
+            "sentinel_stream_gbps": round(copy_gbps, 1)}
+
+
+def median_steps_per_s(run_block, n, reps=3):
+    """Median steps/s over ``reps`` timed blocks of n steps each
+    (first block assumed already compiled by the caller)."""
+    import jax
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = run_block()
+        jax.block_until_ready(out)
+        ts.append(time.time() - t0)
+    return n / float(np.median(ts))
+
+
 def mixing_setup(mesh, dt_factor=1e-4, **model_kw):
     import nupgcm_tpu as npg
 
@@ -195,10 +253,8 @@ def bench_bowl3d_h008():
     ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
     jax.block_until_ready(st.b)
     log(f"[B] 10-step compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
-    jax.block_until_ready(st.b)
-    sps = 10 / (time.time() - t0)
+    sps = median_steps_per_s(
+        lambda: model.multi_step_jit(model.ops, state, 10)[1].b, 10)
     log(f"[B] steady {sps:.2f} steps/s "
         f"(evo_it~{int(np.asarray(auxs['evo_iters']).mean())}, "
         f"inv_it~{int(np.asarray(auxs['inv_iters']).mean())})")
@@ -220,12 +276,14 @@ def bench_1m_roofline():
 
     t0 = time.time()
     mesh = npg.generators.bowl3D(0.033, 0.5, nz=12)
-    log(f"[C] mesh gen {time.time() - t0:.1f}s: {mesh.summary()}")
+    t_mesh = time.time() - t0
+    log(f"[C] mesh gen {t_mesh:.1f}s: {mesh.summary()}")
     t0 = time.time()
     model = mixing_setup(mesh)
     fe = model.fe
     N = fe.n_inv
-    log(f"[C] build {time.time() - t0:.1f}s: {fe.summary()}")
+    t_build = time.time() - t0
+    log(f"[C] build {t_build:.1f}s: {fe.summary()}")
 
     reps = 20
     free_inv = jax.device_put(jnp.asarray(model.const["free_inv"]))
@@ -258,9 +316,13 @@ def bench_1m_roofline():
         jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0, use_base))
         log(f"[C] matvec ({'take' if use_base else 'windowed'}) "
             f"compile+first: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0, use_base))
-        return (time.time() - t0) / reps
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0,
+                                          use_base))
+            ts.append(time.time() - t0)
+        return float(np.median(ts)) / reps
 
     t_app = timed(False)          # production (windowed on TPU)
     t_take = timed(True)          # XLA take-path baseline
@@ -291,11 +353,10 @@ def bench_1m_roofline():
     t0 = time.time()
     ops, st, auxs = model.multi_step_jit(model.ops, state, 5)
     jax.block_until_ready(st.b)
-    log(f"[C] 5-step compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    ops, st, auxs = model.multi_step_jit(model.ops, state, 5)
-    jax.block_until_ready(st.b)
-    sps = 5 / (time.time() - t0)
+    t_step_compile = time.time() - t0
+    log(f"[C] 5-step compile+run: {t_step_compile:.1f}s")
+    sps = median_steps_per_s(
+        lambda: model.multi_step_jit(model.ops, state, 5)[1].b, 5)
     log(f"[C] steady {sps:.3f} steps/s at {N} DoF "
         f"(evo_it~{int(np.asarray(auxs['evo_iters']).mean())}, "
         f"inv_it~{int(np.asarray(auxs['inv_iters']).mean())})")
@@ -309,6 +370,12 @@ def bench_1m_roofline():
         "matvec_gbps_1m": round(gbps, 1),
         "matvec_roofline_frac": round(frac, 3),
         "steps_per_s_1m": round(sps, 3),
+        # setup-latency breakdown (VERDICT r4 item 2); the compile
+        # entries hit the persistent compilation cache on warm runs
+        # (nupgcm_tpu/__init__.py _enable_compilation_cache)
+        "setup_mesh_s_1m": round(t_mesh, 1),
+        "setup_build_s_1m": round(t_build, 1),
+        "compile_5step_s_1m": round(t_step_compile, 1),
     }
     del model
     gc.collect()
@@ -364,11 +431,52 @@ def bench_tpu_golden():
             "tpu_f32_golden_pass": bool(ok)}
 
 
+def bench_dd():
+    """Section E: DD sharded-state mechanics on 8 virtual CPU devices
+    (tools/bench_dd.py subprocess): halo depth, iteration invariance
+    vs shard count, per-matvec ppermute comm volume vs local element
+    bytes.  Wall-clock there is CPU mechanics, not TPU throughput."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_dd.py")
+    p = subprocess.run([sys.executable, script], capture_output=True,
+                       text=True, timeout=1800, env=env)
+    out = {}
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+            break
+        except Exception:
+            continue
+    if not out:
+        log(f"[E] no JSON from bench_dd (rc={p.returncode}); "
+            f"stderr tail: {p.stderr.strip().splitlines()[-3:]}")
+        return {}
+    log(f"[E] {json.dumps(out)}")
+    flat = {}
+    for k, v in out.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                flat[f"{k}_{k2}"] = v2
+        else:
+            flat[k] = v
+    return flat
+
+
 def main():
     import jax
 
     log(f"devices: {jax.devices()}")
     extras = {}
+    try:
+        extras.update(tunnel_sentinel())
+    except Exception as e:  # pragma: no cover
+        log(f"[sentinel] FAILED: {e}")
     t_solve = None
     for name, fn in [("A", bench_16k), ("D", bench_tpu_golden),
                      ("B", bench_bowl3d_h008), ("C", bench_1m_roofline)]:
