@@ -56,6 +56,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(x):
+    """Force REAL completion of a device value.  On the tunneled axon
+    backend, jax.block_until_ready can return before the device work
+    finishes (and identical repeated dispatches may be served from a
+    cache), so every timed region must end by pulling a value; a
+    4-byte element fetch forces the whole producing computation."""
+    import jax
+
+    a = jax.tree_util.tree_leaves(x)[0]
+    return float(a.reshape(-1)[0]) if getattr(a, "ndim", 0) else float(a)
+
+
 def peak_bandwidth():
     import jax
 
@@ -82,11 +94,11 @@ def tunnel_sentinel():
     def mm(a):
         return a @ a
 
-    jax.block_until_ready(mm(a))
+    sync(mm(a))
     ts = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(mm(a))
+        sync(mm(a))
         ts.append(time.time() - t0)
     mm_ms = float(np.median(ts)) * 1e3
 
@@ -96,11 +108,11 @@ def tunnel_sentinel():
     def cp(x):
         return x + 1.0
 
-    jax.block_until_ready(cp(x))
+    sync(cp(x))
     ts = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(cp(x))
+        sync(cp(x))
         ts.append(time.time() - t0)
     copy_gbps = 2 * x.nbytes / float(np.median(ts)) / 1e9
     flops = 2 * 4096 ** 3 / (mm_ms / 1e3) / 1e12
@@ -119,8 +131,7 @@ def median_steps_per_s(run_block, n, reps=3):
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        out = run_block()
-        jax.block_until_ready(out)
+        sync(run_block())
         ts.append(time.time() - t0)
     return n / float(np.median(ts))
 
@@ -192,7 +203,7 @@ def bench_16k():
     state = model.set_b(model.rest_state(), bfun(0.1))
     t0 = time.time()
     u, p, aux = model.invert_jit(model.ops, state)
-    jax.block_until_ready(u)
+    sync(u)
     log(f"[A] invert compile+first run: {time.time() - t0:.2f}s")
 
     times = []
@@ -200,7 +211,7 @@ def bench_16k():
         st = model.set_b(model.rest_state(), bfun(0.1 * (1.0 + 0.01 * rep)))
         t0 = time.time()
         u, p, aux = model.invert_jit(model.ops, st)
-        jax.block_until_ready(u)
+        sync(u)
         times.append(time.time() - t0)
         log(f"[A] rep {rep}: solve {times[-1]:.3f}s "
             f"iters={int(aux['inv_iters'])} res={float(aux['inv_res']):.3e}")
@@ -208,10 +219,10 @@ def bench_16k():
 
     t0 = time.time()
     ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
-    jax.block_until_ready(st.b)
+    sync(st.b)
     t0 = time.time()
     ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
-    jax.block_until_ready(st.b)
+    sync(st.b)
     sps = 10 / (time.time() - t0)
     log(f"[A] steady {sps:.2f} steps/s")
     return {"inv_seconds_16k": t_solve, "steps_per_s_16k": round(sps, 2)}
@@ -239,19 +250,19 @@ def bench_bowl3d_h008():
 
     t0 = time.time()
     u, p, aux = model.invert_jit(model.ops, state)
-    jax.block_until_ready(u)
+    sync(u)
     log(f"[B] invert compile+run: {time.time() - t0:.1f}s "
         f"iters={int(aux['inv_iters'])}")
     t0 = time.time()
     u, p, aux = model.invert_jit(model.ops, state)
-    jax.block_until_ready(u)
+    sync(u)
     t_solve = time.time() - t0
     log(f"[B] inversion solve: {t_solve:.3f}s iters={int(aux['inv_iters'])} "
         f"res={float(aux['inv_res']):.3e}")
 
     t0 = time.time()
     ops, st, auxs = model.multi_step_jit(model.ops, state, 10)
-    jax.block_until_ready(st.b)
+    sync(st.b)
     log(f"[B] 10-step compile+run: {time.time() - t0:.1f}s")
     sps = median_steps_per_s(
         lambda: model.multi_step_jit(model.ops, state, 10)[1].b, 10)
@@ -285,7 +296,6 @@ def bench_1m_roofline():
     t_build = time.time() - t0
     log(f"[C] build {t_build:.1f}s: {fe.summary()}")
 
-    reps = 20
     free_inv = jax.device_put(jnp.asarray(model.const["free_inv"]))
     tabs = getattr(model, "tables_dev", None)
 
@@ -295,7 +305,7 @@ def bench_1m_roofline():
     # element operator; False the Pallas windowed kernel (the
     # production path on TPU -- ops/window.py).
     @functools.partial(jax.jit, static_argnames=("use_base",))
-    def mv_loop(tables, ops, free, x, use_base):
+    def mv_loop(n, tables, ops, free, x, use_base):
         with model._swap_tables(tables):
             Amat = model._inv_matrix(ops)
         if use_base and hasattr(Amat, "base"):
@@ -306,23 +316,29 @@ def bench_1m_roofline():
             y = A(x)
             return y / jnp.linalg.norm(y)
 
-        return jax.lax.fori_loop(0, reps, body, x)
+        return jax.lax.fori_loop(0, n, body, x)
 
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal(N),
                      model.dtype)
 
     def timed(use_base):
+        # differential (T(n2) - T(n1)) / (n2 - n1): dispatch/round-trip
+        # constants cancel; sync() forces real completion
+        n1, n2 = 5, 25
         t0 = time.time()
-        jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0, use_base))
+        sync(mv_loop(n1, tabs, model.ops, free_inv, x0, use_base))
         log(f"[C] matvec ({'take' if use_base else 'windowed'}) "
             f"compile+first: {time.time() - t0:.1f}s")
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            jax.block_until_ready(mv_loop(tabs, model.ops, free_inv, x0,
-                                          use_base))
-            ts.append(time.time() - t0)
-        return float(np.median(ts)) / reps
+
+        def t_of(n):
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                sync(mv_loop(n, tabs, model.ops, free_inv, x0, use_base))
+                ts.append(time.time() - t0)
+            return float(np.median(ts))
+
+        return (t_of(n2) - t_of(n1)) / (n2 - n1)
 
     t_app = timed(False)          # production (windowed on TPU)
     t_take = timed(True)          # XLA take-path baseline
@@ -352,7 +368,7 @@ def bench_1m_roofline():
         -(x[2] + 0.5 * (1 - x[0] ** 2 - x[1] ** 2)) / 0.05))
     t0 = time.time()
     ops, st, auxs = model.multi_step_jit(model.ops, state, 5)
-    jax.block_until_ready(st.b)
+    sync(st.b)
     t_step_compile = time.time() - t0
     log(f"[C] 5-step compile+run: {t_step_compile:.1f}s")
     sps = median_steps_per_s(

@@ -30,14 +30,36 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+N1, N2 = 10, 60
 
-def timed(fn, *args, reps=1, label=""):
+
+def timed(fn, *args, label=""):
+    """Differential timing with a VALUE fetch.
+
+    On the tunneled axon backend, block_until_ready can return before
+    the device work completes and repeated identical dispatches may be
+    served from a cache, so: (a) completion is forced by fetching one
+    element of the result, (b) the per-application time is the
+    difference quotient (T(N2) - T(N1)) / (N2 - N1) -- dispatch,
+    round-trip, and transfer constants cancel.  ``fn(n, *args)`` must
+    run n data-dependent applications (traced loop bound: one
+    compile)."""
+    def fetch(out):
+        return float(out.reshape(-1)[0])  # 4-byte pull forces completion
+
     t0 = time.time()
-    jax.block_until_ready(fn(*args))
+    fetch(fn(N1, *args))
     compile_s = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(fn(*args))
-    run_s = (time.time() - t0) / reps
+
+    def t_of(n):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fetch(fn(n, *args))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    run_s = (t_of(N2) - t_of(N1)) / (N2 - N1)
     print(f"  {label:26s} {run_s * 1e3:9.3f} ms/app  (compile {compile_s:.1f}s)",
           flush=True)
     return run_s
@@ -46,7 +68,6 @@ def timed(fn, *args, reps=1, label=""):
 def main():
     h = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
     nz = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
     sys.path.insert(0, "/root/repo")
     import bench
@@ -95,11 +116,11 @@ def main():
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal(N), model.dtype)
 
     def loop(body):
-        def fn(x):
+        def fn(n, x):
             def step(i, x):
                 y = body(x)
                 return y / jnp.linalg.norm(y)
-            return jax.lax.fori_loop(0, reps, step, x)
+            return jax.lax.fori_loop(0, n, step, x)
         return jax.jit(scoped_precision(fn, prec))
 
     results = {}
@@ -107,35 +128,39 @@ def main():
     # --- full production kernel
     results["full"] = timed(
         loop(lambda x: saddle_matvec(uu_b, up_b, pu_b, x, plan, "full")),
-        x0, reps=reps, label="full (prod)")
+        x0, label="full (prod)")
 
     # --- velocity block only
     n3 = 3 * plan.n_u_nodes
     results["uu"] = timed(
         loop(lambda x: jnp.concatenate([
             saddle_matvec(uu_b, None, None, x[:n3], plan, "uu"), x[n3:]])),
-        x0, reps=reps, label="uu only")
+        x0, label="uu only")
 
-    # --- stream-only: same tensor streaming, trivial compute
-    def stream_kernel(w0u_ref, w0p_ref, uu_ref, up_ref, pu_ref, o_ref):
+    # --- stream-only: same tensor streaming, trivial compute; the
+    # (1, 128) carry rides THROUGH the kernel so successive calls are
+    # data-dependent (no CSE/overlap between reps)
+    def stream_kernel(w0u_ref, w0p_ref, c_ref, uu_ref, up_ref, pu_ref,
+                      o_ref):
         b = pl.program_id(0)
 
         @pl.when(b == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            o_ref[:] = c_ref[:]
 
         acc = (jnp.sum(uu_ref[0], axis=0, keepdims=True)
                + jnp.sum(up_ref[0], axis=0, keepdims=True)
                + jnp.sum(pu_ref[0], axis=0, keepdims=True))
-        o_ref[:] = o_ref[:] + acc
+        o_ref[:] = o_ref[:] + 1e-30 * acc
 
     nlu3 = 3 * plan.nlu
 
-    def stream_once(uu_b, up_b, pu_b):
+    def stream_once(carry, uu_b, up_b, pu_b):
         w0u, w0p = plan.device_arrays()[0], plan.device_arrays()[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(plan.nb,),
             in_specs=[
+                pl.BlockSpec((1, plan.B), lambda b, *_: (0, 0)),
                 pl.BlockSpec((1, nlu3 * nlu3, plan.B), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec((1, nlu3 * plan.nlp, plan.B), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec((1, plan.nlp * nlu3, plan.B), lambda b, *_: (b, 0, 0)),
@@ -144,11 +169,16 @@ def main():
         return pl.pallas_call(
             stream_kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((1, plan.B), jnp.float32),
-        )(w0u, w0p, uu_b, up_b, pu_b)
+        )(w0u, w0p, carry, uu_b, up_b, pu_b)
 
-    results["stream"] = timed(
-        jax.jit(lambda a, b, c: [stream_once(a, b, c) for _ in range(reps)]),
-        uu_b, up_b, pu_b, reps=reps, label="stream only")
+    def stream_loop(n, a, b, c):
+        def body(i, carry):
+            return stream_once(carry, a, b, c)
+        return jax.lax.fori_loop(0, n, body,
+                                 jnp.zeros((1, plan.B), jnp.float32))
+
+    results["stream"] = timed(jax.jit(stream_loop), uu_b, up_b, pu_b,
+                              label="stream only")
 
     # --- compute-only: pin tensor index_map to block 0
     uu1, up1, pu1 = uu_b[:1], up_b[:1], pu_b[:1]
@@ -165,7 +195,7 @@ def main():
 
     results["compute"] = timed(
         loop(lambda x: pinned_matvec(uu1, up1, pu1, x)),
-        x0, reps=reps, label="compute only (pin blk0)")
+        x0, label="compute only (pin blk0)")
 
     # --- kernel v2 (no dedup)
     plan_v2 = build_window_plan(fe.cd_u, fe.cd_p, fe.spaces.u_space.ndof,
@@ -175,7 +205,7 @@ def main():
         ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
     results["nodedup"] = timed(
         loop(lambda x: saddle_matvec(uu2, up2, pu2, x, plan_v2, "full")),
-        x0, reps=reps, label="no dedup (v2)")
+        x0, label="no dedup (v2)")
 
     # --- single bucket
     plan_nb = build_window_plan(fe.cd_u, fe.cd_p, fe.spaces.u_space.ndof,
@@ -185,7 +215,7 @@ def main():
         ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
     results["nobucket"] = timed(
         loop(lambda x: saddle_matvec(uu3, up3, pu3, x, plan_nb, "full")),
-        x0, reps=reps, label="no buckets")
+        x0, label="no buckets")
 
     ms = {k: v * 1e3 for k, v in results.items()}
     print("\nsummary (ms/application):", flush=True)
