@@ -513,123 +513,70 @@ def _fold(row, nl, B):
         [row[:, j * B:(j + 1) * B] for j in range(nl)], axis=0)
 
 
-def _windows_cat(x_ref, row0s, W1):
-    """Lane-concat of per-component windows -> (W1, 128*ncomp).
-
-    Loads produce offset-{0,0} vregs, so the lane concat lowers (a
-    sublane-offset row concat does not -- Mosaic kernel-v4 note)."""
-    if len(row0s) == 1:
-        return x_ref[pl.ds(row0s[0], W1), :]
-    return jnp.concatenate(
-        [x_ref[pl.ds(r0, W1), :] for r0 in row0s], axis=1)
+def _gather(x_ref, row0, W1, OHa, OHt, nl, B, dtype):
+    """Window gather -> (nl, B) element values (row j, lane c)."""
+    Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
+    G1 = _mxu_dot(Xw, OHa, ((0,), (0,)), dtype, "lhs")           # (128,R)
+    xe = jnp.sum(G1 * OHt, axis=0, keepdims=True)                # (1,R)
+    return _fold(xe, nl, B)
 
 
-def _filter_fold(G, OHt, nl, B, ncomp, dtype):
-    """(128*ncomp, R) gathered lanes -> (ncomp*nl, B) element values:
-    per component, mask with the slot one-hot, reduce sublanes, fold
-    the (1, R) row into (nl, B)."""
-    outs = []
-    for d in range(ncomp):
-        xe = jnp.sum(G[128 * d:128 * (d + 1)] * OHt, axis=0,
-                     keepdims=True)                              # (1,R)
-        outs.append(_fold(xe, nl, B))
-    return outs[0] if ncomp == 1 else jnp.concatenate(outs, axis=0)
-
-
-def _slot_mask(OHt, ye, nl, B):
-    """(128, R) matrix M[t, jB+c] = OHt[t, jB+c] * ye[j, c]: the
-    slot-value mask the merged scatter dot contracts against.  Built
-    per 128-lane piece (the broadcast rebases ye's sublane offset;
-    a direct (1, R) row concat of ye rows is not lowerable)."""
-    return jnp.concatenate(
-        [OHt[:, j * B:(j + 1) * B]
-         * jnp.broadcast_to(ye[j:j + 1, :], (128, B)) for j in range(nl)],
-        axis=1)
-
-
-def _gather(x_ref, row0s, W1, OHa, OHt, nl, B, dtype):
-    """Merged window gather -> (ncomp*nl, B) element values.
-
-    Kernel v4: all components ride ONE dot -- lane-concat the
-    per-component windows to (W1, 128*ncomp), contract the window
-    rows against the one-hot (W1, R), then filter+fold per component.
-    MXU cost is unchanged (ncomp*128*W1*R) but issued as a single
-    large dot instead of ncomp small ones: the measured kernel was
-    dot-LATENCY-bound, not FLOP-bound (tools/profile_matvec.py)."""
-    ncomp = len(row0s)
-    Xw = _windows_cat(x_ref, row0s, W1)                  # (W1,128c)
-    G = _mxu_dot(Xw, OHa, ((0,), (0,)), dtype, "lhs")    # (128c,R)
-    return _filter_fold(G, OHt, nl, B, ncomp, dtype)
-
-
-def _gather_dedup(x_ref, row0s, W1, OHa_d, OHt_d, OHa_e, OHt_e,
+def _gather_dedup(x_ref, row0, W1, OHa_d, OHt_d, OHa_e, OHt_e,
                   Ru1, nl, B, dtype):
-    """Merged (kernel v4) unique-row gather: stage A contracts the
-    concatenated component windows against the UNIQUE one-hot (width
-    Ru ~ R/3), folds each component's row into a (Ru1, 128)
-    mini-window, lane-concats those, and stage B expands to the R
-    slots -- 2 dots total for all components (was 2*ncomp)."""
-    ncomp = len(row0s)
-    Xw = _windows_cat(x_ref, row0s, W1)                  # (W1,128c)
-    Gd = _mxu_dot(Xw, OHa_d, ((0,), (0,)), dtype, "lhs")  # (128c,Ru)
-    Uws = []
-    for d in range(ncomp):
-        xu = jnp.sum(Gd[128 * d:128 * (d + 1)] * OHt_d, axis=0,
-                     keepdims=True)                      # (1,Ru)
-        Uws.append(_fold(xu, Ru1, 128))                  # (Ru1,128)
-    Uw = Uws[0] if ncomp == 1 else jnp.concatenate(Uws, axis=1)
-    G2 = _mxu_dot(Uw, OHa_e, ((0,), (0,)), dtype, "lhs")  # (128c,R)
-    return _filter_fold(G2, OHt_e, nl, B, ncomp, dtype)
+    """Kernel-v3 window gather: unique rows first, then expand.
+
+    Stage A gathers the ~R/3 UNIQUE window rows (one-hot width Ru)
+    and folds them into a (Ru1, 128) mini-window; stage B re-gathers
+    from the mini-window with the expansion one-hots (height Ru1 <<
+    W1).  MXU cost W1*128*Ru + Ru1*128*R vs the direct W1*128*R."""
+    Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
+    G1 = _mxu_dot(Xw, OHa_d, ((0,), (0,)), dtype, "lhs")         # (128,Ru)
+    xu = jnp.sum(G1 * OHt_d, axis=0, keepdims=True)              # (1,Ru)
+    Uw = _fold(xu, Ru1, 128)                                     # (Ru1,128)
+    G2 = _mxu_dot(Uw, OHa_e, ((0,), (0,)), dtype, "lhs")         # (128,R)
+    xe = jnp.sum(G2 * OHt_e, axis=0, keepdims=True)              # (1,R)
+    return _fold(xe, nl, B)
 
 
-def _scatter_acc(y_ref, row0s, W1, Yw, dtype):
-    """Accumulate the merged (W1, 128*ncomp) window update into the
-    per-component plane windows."""
-    for d, r0 in enumerate(row0s):
-        idx = pl.ds(r0, W1)
-        y_ref[idx, :] = y_ref[idx, :] + Yw[:, 128 * d:128 * (d + 1)]
-
-
-def _scatter(y_ref, row0s, W1, OHa, OHt, ye, nl, B, dtype):
-    """Merged adjoint of _gather: ONE dot for all components.
-
-      Yw[q, dt] = sum_s OHa[q, s] * OHt[t, s] * ye[d*nl + s//B, s%B]
-
-    via the slot-value mask M_d = OHt * ye_d (built per lane piece)
-    lane-concat... sublane-concat across components to (128c, R), one
-    (W1, R) x (128c, R) contraction, then per-component window
-    accumulation.  Duplicate targets sum inside the MXU accumulator
-    exactly as before (same contraction, same order class)."""
-    ncomp = len(row0s)
-    Ms = [_slot_mask(OHt, ye[d * nl:(d + 1) * nl], nl, B)
-          for d in range(ncomp)]
-    M = Ms[0] if ncomp == 1 else jnp.concatenate(Ms, axis=0)  # (128c,R)
-    Yw = _mxu_dot(OHa, M, ((1,), (1,)), dtype, "rhs")         # (W1,128c)
-    _scatter_acc(y_ref, row0s, W1, Yw, dtype)
-
-
-def _scatter_dedup(y_ref, row0s, W1, OHa_d, OHt_d, OHa_e, OHt_e,
-                   ye, nl, B, dtype):
-    """Merged adjoint of _gather_dedup: slot values sum into the
-    unique accumulator (one expansion-adjoint dot for all
-    components), which then scatters into the real windows (one
-    unique-adjoint dot) -- 2 dots total (was (nl + Ru1) * ncomp)."""
-    ncomp = len(row0s)
+def _scatter_dedup(y_ref, row0, W1, OHa_d, OHt_d, OHa_e, OHt_e,
+                   ye, dtype):
+    """Exact adjoint of _gather_dedup: slot values sum into the unique
+    accumulator (adjoint expand, height Ru1), which then scatters into
+    the real window (one-hot width Ru).  Both loops stay on
+    vreg-aligned lane slices (_scatter's lowering constraint)."""
+    nl, B = ye.shape
     Ru1 = OHa_e.shape[0]
-    Ms = [_slot_mask(OHt_e, ye[d * nl:(d + 1) * nl], nl, B)
-          for d in range(ncomp)]
-    M = Ms[0] if ncomp == 1 else jnp.concatenate(Ms, axis=0)   # (128c,R)
-    Uacc = _mxu_dot(OHa_e, M, ((1,), (1,)), dtype, "rhs")      # (Ru1,128c)
-    M2s = []
-    for d in range(ncomp):
-        Ud = Uacc[:, 128 * d:128 * (d + 1)]                    # (Ru1,128)
-        M2s.append(jnp.concatenate(
-            [OHt_d[:, i * 128:(i + 1) * 128]
-             * jnp.broadcast_to(Ud[i:i + 1, :], (128, 128))
-             for i in range(Ru1)], axis=1))                    # (128,Ru)
-    M2 = M2s[0] if ncomp == 1 else jnp.concatenate(M2s, axis=0)
-    Yw = _mxu_dot(OHa_d, M2, ((1,), (1,)), dtype, "rhs")       # (W1,128c)
-    _scatter_acc(y_ref, row0s, W1, Yw, dtype)
+    Uacc = jnp.zeros((Ru1, 128), dtype)
+    for j in range(nl):
+        sl = slice(j * B, (j + 1) * B)
+        Mj = OHt_e[:, sl] * jnp.broadcast_to(ye[j:j + 1, :], (128, B))
+        Uacc = Uacc + _mxu_dot(OHa_e[:, sl], Mj, ((1,), (1,)), dtype,
+                               "rhs")
+    Yw = jnp.zeros((W1, 128), dtype)
+    for i in range(Ru1):
+        sl = slice(i * 128, (i + 1) * 128)
+        Mi = OHt_d[:, sl] * jnp.broadcast_to(Uacc[i:i + 1, :], (128, 128))
+        Yw = Yw + _mxu_dot(OHa_d[:, sl], Mi, ((1,), (1,)), dtype, "rhs")
+    idx = pl.ds(row0, W1)
+    y_ref[idx, :] = y_ref[idx, :] + Yw
+
+
+def _scatter(y_ref, row0, W1, OHa, OHt, ye, dtype):
+    """Adjoint of _gather: accumulate (nl, B) values into the window.
+
+    Decomposed per local dof j (lane slices of the one-hots stay
+    vreg-aligned; a flat (1, nl*B) row concat is not lowerable):
+      Yw[q,t] += sum_c OHa[q, jB+c] * OHt[t, jB+c] * ye[j,c].
+    Duplicate targets accumulate inside the MXU f32 accumulator.
+    """
+    nl, B = ye.shape
+    Yw = jnp.zeros((W1, 128), dtype)
+    for j in range(nl):
+        sl = slice(j * B, (j + 1) * B)
+        Mj = OHt[:, sl] * jnp.broadcast_to(ye[j:j + 1, :], (128, B))
+        Yw = Yw + _mxu_dot(OHa[:, sl], Mj, ((1,), (1,)), dtype, "rhs")
+    idx = pl.ds(row0, W1)
+    y_ref[idx, :] = y_ref[idx, :] + Yw
 
 
 def _apply_block(T_row, xe, nl_out, dtype):
@@ -651,10 +598,8 @@ def _apply_block(T_row, xe, nl_out, dtype):
 
 class _SpaceCtx:
     """Per-space gather/scatter closure: direct (slot one-hots) or
-    dedup (unique + expansion one-hots), built once per block.
-    ``gather``/``scatter`` take the LIST of per-component window row
-    starts and move all components through single merged MXU dots
-    (kernel v4)."""
+    dedup (unique + expansion one-hots, kernel v3), built once per
+    block."""
 
     def __init__(self, W1, idx_refs, dedup, Ru, dtype):
         self.W1, self.dtype = W1, dtype
@@ -673,21 +618,21 @@ class _SpaceCtx:
             a_ref, t_ref = idx_refs
             self.OHa, self.OHt = _onehots(a_ref[0], t_ref[0], W1, dtype)
 
-    def gather(self, x_ref, row0s, nl, B):
+    def gather(self, x_ref, row0, nl, B):
         if self.dedup:
-            return _gather_dedup(x_ref, row0s, self.W1, self.OHa_d,
+            return _gather_dedup(x_ref, row0, self.W1, self.OHa_d,
                                  self.OHt_d, self.OHa_e, self.OHt_e,
                                  self.Ru1, nl, B, self.dtype)
-        return _gather(x_ref, row0s, self.W1, self.OHa, self.OHt,
+        return _gather(x_ref, row0, self.W1, self.OHa, self.OHt,
                        nl, B, self.dtype)
 
-    def scatter(self, y_ref, row0s, ye, nl, B):
+    def scatter(self, y_ref, row0, ye):
         if self.dedup:
-            _scatter_dedup(y_ref, row0s, self.W1, self.OHa_d, self.OHt_d,
-                           self.OHa_e, self.OHt_e, ye, nl, B, self.dtype)
+            _scatter_dedup(y_ref, row0, self.W1, self.OHa_d, self.OHt_d,
+                           self.OHa_e, self.OHt_e, ye, self.dtype)
         else:
-            _scatter(y_ref, row0s, self.W1, self.OHa, self.OHt, ye,
-                     nl, B, self.dtype)
+            _scatter(y_ref, row0, self.W1, self.OHa, self.OHt, ye,
+                     self.dtype)
 
 
 def _saddle_kernel(plan, mode, dtype, W1u, W1p, Ru_u, Ru_p, boff,
@@ -727,11 +672,13 @@ def _saddle_kernel(plan, mode, dtype, W1u, W1p, Ru_u, Ru_p, boff,
         w0p = w0p_ref[b + boff]
         cp = _SpaceCtx(W1p, ip_, plan.dedup, Ru_p, dtype)
 
-    rows_u = [d * nr_u + w0u for d in range(3)]
     if mode != "up":
-        xe_u = cu.gather(xu_ref, rows_u, nlu, B)               # (3nlu, B)
+        xe_u = jnp.concatenate([
+            cu.gather(xu_ref, d * nr_u + w0u, nlu, B)
+            for d in range(3)
+        ], axis=0)                                             # (3nlu, B)
     if mode != "uu":
-        xe_p = cp.gather(xp_ref, [w0p], nlp, B)
+        xe_p = cp.gather(xp_ref, w0p, nlp, B)
 
     if mode in ("full", "full_pp"):
         ye_u = _apply_block(uu_ref[0], xe_u, nlu3, dtype)
@@ -744,9 +691,10 @@ def _saddle_kernel(plan, mode, dtype, W1u, W1p, Ru_u, Ru_p, boff,
     else:
         ye_u = _apply_block(up_ref[0], xe_p, nlu3, dtype)
 
-    cu.scatter(yu_ref, rows_u, ye_u, nlu, B)
+    for d in range(3):
+        cu.scatter(yu_ref, d * nr_u + w0u, ye_u[d * nlu:(d + 1) * nlu])
     if mode in ("full", "full_pp"):
-        cp.scatter(yp_ref, [w0p], ye_p, nlp, B)
+        cp.scatter(yp_ref, w0p, ye_p)
 
 
 def _scalar_kernel(plan, dtype, W1, Ru, boff, w0_ref, *args):
@@ -763,9 +711,9 @@ def _scalar_kernel(plan, dtype, W1, Ru, boff, w0_ref, *args):
 
     w0 = w0_ref[b + boff]
     ctx = _SpaceCtx(W1, idx, plan.dedup, Ru, dtype)
-    xe = ctx.gather(x_ref, [w0], nl, B)
+    xe = ctx.gather(x_ref, w0, nl, B)
     ye = _apply_block(ae_ref[0], xe, nl, dtype)
-    ctx.scatter(y_ref, [w0], ye, nl, B)
+    ctx.scatter(y_ref, w0, ye)
 
 
 # ----------------------------------------------------------------------

@@ -123,19 +123,30 @@ def main():
             return jax.lax.fori_loop(0, n, step, x)
         return jax.jit(scoped_precision(fn, prec))
 
+    import os
+
+    only = os.environ.get("PROF_ONLY")
+    only = set(only.split(",")) if only else None
+
+    def want(name):
+        return only is None or name in only
+
     results = {}
 
     # --- full production kernel
-    results["full"] = timed(
-        loop(lambda x: saddle_matvec(uu_b, up_b, pu_b, x, plan, "full")),
-        x0, label="full (prod)")
+    if want("full"):
+        results["full"] = timed(
+            loop(lambda x: saddle_matvec(uu_b, up_b, pu_b, x, plan, "full")),
+            x0, label="full (prod)")
 
     # --- velocity block only
     n3 = 3 * plan.n_u_nodes
-    results["uu"] = timed(
-        loop(lambda x: jnp.concatenate([
-            saddle_matvec(uu_b, None, None, x[:n3], plan, "uu"), x[n3:]])),
-        x0, label="uu only")
+    if want("uu"):
+        results["uu"] = timed(
+            loop(lambda x: jnp.concatenate([
+                saddle_matvec(uu_b, None, None, x[:n3], plan, "uu"),
+                x[n3:]])),
+            x0, label="uu only")
 
     # --- stream-only: same tensor streaming, trivial compute; the
     # (1, 128) carry rides THROUGH the kernel so successive calls are
@@ -177,8 +188,9 @@ def main():
         return jax.lax.fori_loop(0, n, body,
                                  jnp.zeros((1, plan.B), jnp.float32))
 
-    results["stream"] = timed(jax.jit(stream_loop), uu_b, up_b, pu_b,
-                              label="stream only")
+    if want("stream"):
+        results["stream"] = timed(jax.jit(stream_loop), uu_b, up_b, pu_b,
+                                  label="stream only")
 
     # --- compute-only: pin tensor index_map to block 0
     uu1, up1, pu1 = uu_b[:1], up_b[:1], pu_b[:1]
@@ -193,39 +205,41 @@ def main():
         finally:
             W._tensor_spec = orig
 
-    results["compute"] = timed(
-        loop(lambda x: pinned_matvec(uu1, up1, pu1, x)),
-        x0, label="compute only (pin blk0)")
+    if want("compute"):
+        results["compute"] = timed(
+            loop(lambda x: pinned_matvec(uu1, up1, pu1, x)),
+            x0, label="compute only (pin blk0)")
 
     # --- kernel v2 (no dedup)
-    plan_v2 = build_window_plan(fe.cd_u, fe.cd_p, fe.spaces.u_space.ndof,
-                                fe.spaces.n_p, dedup=False)
-    uu2, up2, pu2 = jax.block_until_ready(jax.jit(
-        lambda a, b, c: blocked_saddle_tensors(a, b, c, plan_v2))(
-        ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
-    results["nodedup"] = timed(
-        loop(lambda x: saddle_matvec(uu2, up2, pu2, x, plan_v2, "full")),
-        x0, label="no dedup (v2)")
+    if want("nodedup"):
+        plan_v2 = build_window_plan(fe.cd_u, fe.cd_p,
+                                    fe.spaces.u_space.ndof,
+                                    fe.spaces.n_p, dedup=False)
+        uu2, up2, pu2 = jax.block_until_ready(jax.jit(
+            lambda a, b, c: blocked_saddle_tensors(a, b, c, plan_v2))(
+            ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
+        results["nodedup"] = timed(
+            loop(lambda x: saddle_matvec(uu2, up2, pu2, x, plan_v2,
+                                         "full")),
+            x0, label="no dedup (v2)")
 
     # --- single bucket
-    plan_nb = build_window_plan(fe.cd_u, fe.cd_p, fe.spaces.u_space.ndof,
-                                fe.spaces.n_p, bucketed=False)
-    uu3, up3, pu3 = jax.block_until_ready(jax.jit(
-        lambda a, b, c: blocked_saddle_tensors(a, b, c, plan_nb))(
-        ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
-    results["nobucket"] = timed(
-        loop(lambda x: saddle_matvec(uu3, up3, pu3, x, plan_nb, "full")),
-        x0, label="no buckets")
+    if want("nobucket"):
+        plan_nb = build_window_plan(fe.cd_u, fe.cd_p,
+                                    fe.spaces.u_space.ndof,
+                                    fe.spaces.n_p, bucketed=False)
+        uu3, up3, pu3 = jax.block_until_ready(jax.jit(
+            lambda a, b, c: blocked_saddle_tensors(a, b, c, plan_nb))(
+            ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
+        results["nobucket"] = timed(
+            loop(lambda x: saddle_matvec(uu3, up3, pu3, x, plan_nb,
+                                         "full")),
+            x0, label="no buckets")
 
     ms = {k: v * 1e3 for k, v in results.items()}
     print("\nsummary (ms/application):", flush=True)
     for k, v in ms.items():
         print(f"  {k:10s} {v:8.3f}")
-    print(f"\n  stream floor:   {ms['stream']:.3f} ms "
-          f"({nbytes / results['stream'] / 1e9:.0f} GB/s)")
-    print(f"  compute (resident tensors): {ms['compute']:.3f} ms")
-    print(f"  full - stream - compute overlap gap: "
-          f"{ms['full'] - max(ms['stream'], ms['compute']):.3f} ms")
 
 
 if __name__ == "__main__":
