@@ -162,11 +162,15 @@ class WindowPlan:
 
     @property
     def nr_u(self) -> int:
-        return _ceil_to(max(self.n_u_nodes, 1), 128) // 128 + self.W1u
+        # multiple of 8 so per-component plane offsets d*nr_u keep the
+        # 8-row alignment of the window starts (see block_tables)
+        return _ceil_to(
+            _ceil_to(max(self.n_u_nodes, 1), 128) // 128 + self.W1u, 8)
 
     @property
     def nr_p(self) -> int:
-        return _ceil_to(max(self.n_p, 1), 128) // 128 + self.W1p
+        return _ceil_to(
+            _ceil_to(max(self.n_p, 1), 128) // 128 + self.W1p, 8)
 
 
 def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
@@ -199,12 +203,17 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
         a = np.full((nb, B * nl), -1, np.int32)
         t = np.full((nb, B * nl), -1, np.int32)
         if nl == 0:
-            return w0, a, t, np.ones(nb, np.int64)
+            return w0, a, t, np.full(nb, 8, np.int64)
         spans = []
         for b in range(nb):
             blk = cd[b * B:(b + 1) * B]
             nr = blk.shape[0]  # real cells in this block
-            w0r = int(blk.min()) // 128
+            # window starts FLOOR to 8-row (sublane-tile) multiples and
+            # widths CEIL to 8 rows: sublane-aligned dynamic window
+            # loads/stores vectorize in Mosaic, where misaligned ones
+            # unroll per row and blow up kernel lowering time
+            # (tools/compile_bisect.py)
+            w0r = (int(blk.min()) // 128) // 8 * 8
             w0[b] = w0r
             loc = blk - w0r * 128
             spans.append(int(loc.max()) + 1)
@@ -215,8 +224,9 @@ def build_window_plan(cd_u, cd_p, n_u_nodes: int, n_p: int,
             tj[:nr] = loc % 128
             a[b] = aj.T.reshape(-1)
             t[b] = tj.T.reshape(-1)
-        # per-block required window rows of 128
-        return w0, a, t, np.maximum(1, _ceil_to(np.asarray(spans), 128) // 128)
+        # per-block required window rows of 128, in 8-row multiples
+        w1 = np.maximum(1, _ceil_to(np.asarray(spans), 128) // 128)
+        return w0, a, t, _ceil_to(w1, 8)
 
     w0u, a_u, t_u, w1u_blk = block_tables(cd_u, nlu)
     w0p, a_p, t_p, w1p_blk = block_tables(cd_p, nlp)
@@ -515,6 +525,7 @@ def _fold(row, nl, B):
 
 def _gather(x_ref, row0, W1, OHa, OHt, nl, B, dtype):
     """Window gather -> (nl, B) element values (row j, lane c)."""
+    row0 = pl.multiple_of(row0, 8)
     Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
     G1 = _mxu_dot(Xw, OHa, ((0,), (0,)), dtype, "lhs")           # (128,R)
     xe = jnp.sum(G1 * OHt, axis=0, keepdims=True)                # (1,R)
@@ -529,6 +540,7 @@ def _gather_dedup(x_ref, row0, W1, OHa_d, OHt_d, OHa_e, OHt_e,
     and folds them into a (Ru1, 128) mini-window; stage B re-gathers
     from the mini-window with the expansion one-hots (height Ru1 <<
     W1).  MXU cost W1*128*Ru + Ru1*128*R vs the direct W1*128*R."""
+    row0 = pl.multiple_of(row0, 8)
     Xw = x_ref[pl.ds(row0, W1), :]                               # (W1,128)
     G1 = _mxu_dot(Xw, OHa_d, ((0,), (0,)), dtype, "lhs")         # (128,Ru)
     xu = jnp.sum(G1 * OHt_d, axis=0, keepdims=True)              # (1,Ru)
@@ -557,7 +569,7 @@ def _scatter_dedup(y_ref, row0, W1, OHa_d, OHt_d, OHa_e, OHt_e,
         sl = slice(i * 128, (i + 1) * 128)
         Mi = OHt_d[:, sl] * jnp.broadcast_to(Uacc[i:i + 1, :], (128, 128))
         Yw = Yw + _mxu_dot(OHa_d[:, sl], Mi, ((1,), (1,)), dtype, "rhs")
-    idx = pl.ds(row0, W1)
+    idx = pl.ds(pl.multiple_of(row0, 8), W1)
     y_ref[idx, :] = y_ref[idx, :] + Yw
 
 
@@ -575,7 +587,7 @@ def _scatter(y_ref, row0, W1, OHa, OHt, ye, dtype):
         sl = slice(j * B, (j + 1) * B)
         Mj = OHt[:, sl] * jnp.broadcast_to(ye[j:j + 1, :], (128, B))
         Yw = Yw + _mxu_dot(OHa[:, sl], Mj, ((1,), (1,)), dtype, "rhs")
-    idx = pl.ds(row0, W1)
+    idx = pl.ds(pl.multiple_of(row0, 8), W1)
     y_ref[idx, :] = y_ref[idx, :] + Yw
 
 
