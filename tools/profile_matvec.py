@@ -116,9 +116,13 @@ def main():
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal(N), model.dtype)
 
     def loop(body):
-        def fn(n, x):
+        # tensors ride as jit ARGUMENTS (args-table discipline,
+        # models/model.py): a closed-over device array would inline
+        # 907 MB of constants into the HLO payload and the remote
+        # compile service rejects it (HTTP 413)
+        def fn(n, x, *tensors):
             def step(i, x):
-                y = body(x)
+                y = body(x, *tensors)
                 return y / jnp.linalg.norm(y)
             return jax.lax.fori_loop(0, n, step, x)
         return jax.jit(scoped_precision(fn, prec))
@@ -136,17 +140,18 @@ def main():
     # --- full production kernel
     if want("full"):
         results["full"] = timed(
-            loop(lambda x: saddle_matvec(uu_b, up_b, pu_b, x, plan, "full")),
-            x0, label="full (prod)")
+            loop(lambda x, a, b, c: saddle_matvec(a, b, c, x, plan,
+                                                  "full")),
+            x0, uu_b, up_b, pu_b, label="full (prod)")
 
     # --- velocity block only
     n3 = 3 * plan.n_u_nodes
     if want("uu"):
         results["uu"] = timed(
-            loop(lambda x: jnp.concatenate([
-                saddle_matvec(uu_b, None, None, x[:n3], plan, "uu"),
+            loop(lambda x, a: jnp.concatenate([
+                saddle_matvec(a, None, None, x[:n3], plan, "uu"),
                 x[n3:]])),
-            x0, label="uu only")
+            x0, uu_b, label="uu only")
 
     # --- stream-only: same tensor streaming, trivial compute; the
     # (1, 128) carry rides THROUGH the kernel so successive calls are
@@ -207,8 +212,8 @@ def main():
 
     if want("compute"):
         results["compute"] = timed(
-            loop(lambda x: pinned_matvec(uu1, up1, pu1, x)),
-            x0, label="compute only (pin blk0)")
+            loop(lambda x, a, b, c: pinned_matvec(a, b, c, x)),
+            x0, uu1, up1, pu1, label="compute only (pin blk0)")
 
     # --- kernel v2 (no dedup)
     if want("nodedup"):
@@ -219,9 +224,9 @@ def main():
             lambda a, b, c: blocked_saddle_tensors(a, b, c, plan_v2))(
             ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
         results["nodedup"] = timed(
-            loop(lambda x: saddle_matvec(uu2, up2, pu2, x, plan_v2,
-                                         "full")),
-            x0, label="no dedup (v2)")
+            loop(lambda x, a, b, c: saddle_matvec(a, b, c, x, plan_v2,
+                                                  "full")),
+            x0, uu2, up2, pu2, label="no dedup (v2)")
 
     # --- single bucket
     if want("nobucket"):
@@ -232,9 +237,9 @@ def main():
             lambda a, b, c: blocked_saddle_tensors(a, b, c, plan_nb))(
             ops["A_uu_e"], ops["A_up_e"], ops["A_pu_e"]))
         results["nobucket"] = timed(
-            loop(lambda x: saddle_matvec(uu3, up3, pu3, x, plan_nb,
-                                         "full")),
-            x0, label="no buckets")
+            loop(lambda x, a, b, c: saddle_matvec(a, b, c, x, plan_nb,
+                                                  "full")),
+            x0, uu3, up3, pu3, label="no buckets")
 
     ms = {k: v * 1e3 for k, v in results.items()}
     print("\nsummary (ms/application):", flush=True)

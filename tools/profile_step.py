@@ -72,22 +72,18 @@ def main():
 
     import dataclasses
 
-    c = model.const
-
     def jitloop(body):
-        def fn(n, ops, st):
+        # tables/ops ride as jit ARGUMENTS (args-table discipline):
+        # closing over device arrays would inline them as constants
+        # and overflow the remote compile service's payload limit
+        def fn(n, tables, ops, st):
             def step(i, st):
-                return body(ops, st)
+                with model._swap_tables(tables):
+                    return body(ops, st)
             return jax.lax.fori_loop(0, n, step, st)
-        return jax.jit(scoped_precision(fn, prec))
 
-    def with_tables(f):
-        def g(ops, st):
-            if tabs is None:
-                return f(ops, st)
-            with model._swap_tables(tabs):
-                return f(ops, st)
-        return g
+        jitted = jax.jit(scoped_precision(fn, prec))
+        return lambda n, ops, st: jitted(n, tabs, ops, st)
 
     # full fused step (the production dispatch)
     def body_step(ops, st):
@@ -107,6 +103,9 @@ def main():
         return chain(st, b_new)
 
     def body_adv(ops, st):
+        # model.const reads INSIDE the swap context pick up the traced
+        # tables (args mode)
+        c = model.const
         fe, pr = model.fe, model.params
         mt = model.dtype
         Gb3 = model._grads_b()
@@ -125,8 +124,7 @@ def main():
     results = {}
     for name, body in (("step", body_step), ("invert", body_invert),
                        ("evolve", body_evolve), ("adv", body_adv)):
-        results[name] = timed(jitloop(with_tables(body)), ops, state,
-                              label=name)
+        results[name] = timed(jitloop(body), ops, state, label=name)
 
     print("\ncomposition: step = invert + evolve + dt/eddy overhead;"
           "\n  evolve = adv + CG;  shares:", flush=True)
