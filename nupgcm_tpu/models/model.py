@@ -299,16 +299,27 @@ class PGModel:
         if windowed:
             from ..ops import window as _W
 
+            # dedup=False: honest differential timing at 0.87M dofs
+            # measures the direct slot one-hots at 7.3 ms/application
+            # vs 11.5 ms with the unique-node dedup tables -- the
+            # two-stage dedup contraction costs more than the MACs it
+            # saves at single-device window widths (W1~56-80;
+            # tools/profile_matvec.py r5).  The DD path keeps dedup
+            # (per-shard windows are narrow, where the two measure
+            # equal, and its traced-table schema is dedup-shaped).
             sp_ = fe.spaces
             self.wplan = _W.build_window_plan(
-                fe.cd_u, fe.cd_p, sp_.u_space.ndof, sp_.n_p)
+                fe.cd_u, fe.cd_p, sp_.u_space.ndof, sp_.n_p, dedup=False)
             self.wplan_b = _W.build_window_plan(
-                fe.cd_b, np.zeros((fe.n_cells_padded, 0)), sp_.n_b, 0)
+                fe.cd_b, np.zeros((fe.n_cells_padded, 0)), sp_.n_b, 0,
+                dedup=False)
             self.wplan_p = _W.build_window_plan(
-                fe.cd_p, np.zeros((fe.n_cells_padded, 0)), sp_.n_p, 0)
+                fe.cd_p, np.zeros((fe.n_cells_padded, 0)), sp_.n_p, 0,
+                dedup=False)
             # P1-P1 saddle-coarse system: vertex space on BOTH sides
             self.wplan_sc = _W.build_window_plan(
-                fe.cd_p, fe.cd_p, sp_.p_space.ndof, sp_.p_space.ndof)
+                fe.cd_p, fe.cd_p, sp_.p_space.ndof, sp_.p_space.ndof,
+                dedup=False)
             # all-resident planes must fit VMEM next to the streamed
             # blocks; beyond this the DD path shards first
             if not _W.planes_fit_vmem(self.wplan):
