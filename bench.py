@@ -88,33 +88,39 @@ def tunnel_sentinel():
     import jax
     import jax.numpy as jnp
 
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    a = jnp.full((4096, 4096), 1e-3, jnp.bfloat16)
 
     @jax.jit
-    def mm(a):
-        return a @ a
+    def mm(n, a):
+        # data-dependent chain; traced n for differential timing
+        def body(i, a):
+            return (a @ a) * jnp.bfloat16(2.4e-4)
+        return jax.lax.fori_loop(0, n, body, a)
 
-    sync(mm(a))
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        sync(mm(a))
-        ts.append(time.time() - t0)
-    mm_ms = float(np.median(ts)) * 1e3
+    def t_diff(fn, *args, n1=4, n2=24):
+        sync(fn(n1, *args))
+
+        def t_of(n):
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                sync(fn(n, *args))
+                ts.append(time.time() - t0)
+            return float(np.median(ts))
+
+        return (t_of(n2) - t_of(n1)) / (n2 - n1)
+
+    mm_ms = t_diff(mm, a) * 1e3
 
     x = jnp.ones((1024, 1024, 256), jnp.float32)  # 1 GiB
 
     @jax.jit
-    def cp(x):
-        return x + 1.0
+    def cp(n, x):
+        def body(i, x):
+            return 1.0 - x
+        return jax.lax.fori_loop(0, n, body, x)
 
-    sync(cp(x))
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        sync(cp(x))
-        ts.append(time.time() - t0)
-    copy_gbps = 2 * x.nbytes / float(np.median(ts)) / 1e9
+    copy_gbps = 2 * x.nbytes / t_diff(cp, x) / 1e9
     flops = 2 * 4096 ** 3 / (mm_ms / 1e3) / 1e12
     log(f"[sentinel] 4096^3 bf16 matmul {mm_ms:.2f} ms ({flops:.0f} Tflop/s), "
         f"1 GiB r+w stream {copy_gbps:.0f} GB/s")
