@@ -1658,6 +1658,18 @@ class PGModel:
         invert_only = scoped_precision(invert_only, self.matmul_precision)
 
         def multi_step(ops, state: State, n: int):
+            if not fr.eddy_param.is_on:
+                # ops never changes in-step without the eddy rebuild:
+                # keep it OUT of the scan carry (a carried pytree of
+                # element tensors costs ~GB of copies per step; as a
+                # closed-over scan invariant it is aliased)
+                def body(st, _):
+                    _, st, aux = step(ops, st)
+                    return st, aux
+
+                state, auxs = jax.lax.scan(body, state, None, length=n)
+                return ops, state, auxs
+
             def body(carry, _):
                 ops, st = carry
                 ops, st, aux = step(ops, st)
